@@ -1,0 +1,268 @@
+"""Descriptor-op parity vs scipy oracles.
+
+Each oracle re-states the reference's numerical recipe (topo.py) directly in
+scipy/numpy on float32 inputs — the same substrate the reference executes on —
+and the jit-compiled TPU ops must match within float32 tolerance. This is the
+numerical-regression suite the reference never had (SURVEY.md §4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import numpy.ma as ma
+import pytest
+from scipy import ndimage, signal
+
+from topo_descriptors_tpu import kernels, ops
+
+
+# --------------------------------------------------------------------------
+# conv engine
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("method", ["direct", "fft"])
+@pytest.mark.parametrize("kshape", [(5, 5), (9, 9), (6, 8), (13, 7)])
+def test_conv2d_same_matches_scipy(dem_small, method, kshape, rng):
+    kernel = rng.standard_normal(kshape).astype(np.float32)
+    ref = signal.convolve(dem_small, kernel, mode="same")
+    out = np.asarray(jax.jit(
+        lambda x: ops.conv2d_same(x, kernel, method=method)
+    )(dem_small))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-2)
+
+
+@pytest.mark.parametrize("sigma", [0.8, 1.0, 2.5, 6.0, 25.0])
+def test_gaussian_filter_matches_scipy(dem_small, sigma):
+    ref = ndimage.gaussian_filter(dem_small, sigma)
+    out = np.asarray(jax.jit(lambda x: ops.gaussian_filter(x, sigma))(dem_small))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=5e-3)
+
+
+def test_gaussian_filter_anisotropic(dem_small):
+    ref = ndimage.gaussian_filter(dem_small, (2.0, 5.0))
+    out = np.asarray(jax.jit(lambda x: ops.gaussian_filter(x, (2.0, 5.0)))(dem_small))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=5e-3)
+
+
+def test_gaussian_filter_huge_sigma_reflect(dem_tiny):
+    # pad width far beyond the array size: multiple reflections
+    ref = ndimage.gaussian_filter(dem_tiny, 30.0)
+    out = np.asarray(jax.jit(lambda x: ops.gaussian_filter(x, 30.0))(dem_tiny))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=5e-3)
+
+
+def test_convolve_reflect_matches_ndimage(dem_small):
+    k = kernels.sobel_kernel()
+    ref = ndimage.convolve(dem_small, k)
+    out = np.asarray(jax.jit(lambda x: ops.convolve_reflect(x, k))(dem_small))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-3)
+
+
+def test_gradient_axis_matches_np(dem_small):
+    ref_y, ref_x = np.gradient(dem_small)
+    out_y = np.asarray(jax.jit(lambda x: ops.gradient_axis(x, 0))(dem_small))
+    out_x = np.asarray(jax.jit(lambda x: ops.gradient_axis(x, 1))(dem_small))
+    np.testing.assert_allclose(out_y, ref_y, rtol=1e-6, atol=1e-4)
+    np.testing.assert_allclose(out_x, ref_x, rtol=1e-6, atol=1e-4)
+
+
+def test_edge_count_plane_exact(dem_small):
+    kernel = kernels.circular_kernel(9)
+    ref = signal.convolve(
+        np.ones_like(dem_small, dtype=np.float64), kernel.astype(np.float64), "same"
+    )
+    # the plane is exact (integral image); the scipy oracle itself carries
+    # ~1e-5 FFT noise, hence the tolerance
+    plane = ops.edge_count_plane(dem_small.shape, kernel)
+    np.testing.assert_allclose(plane, ref, rtol=1e-9, atol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# descriptors
+# --------------------------------------------------------------------------
+
+
+def _tpi_oracle(dem, size, sigma=None):
+    kernel = kernels.circular_kernel(size)
+    kernel[int(size / 2), int(size / 2)] = 0
+    if sigma:
+        dem = ndimage.gaussian_filter(dem, sigma)
+    conv = signal.convolve(dem, kernel, mode="same")
+    return dem - conv / np.sum(kernel)
+
+
+@pytest.mark.parametrize("size,sigma", [(3, None), (9, None), (17, None), (9, 1.125)])
+def test_tpi_parity(dem_small, size, sigma):
+    ref = _tpi_oracle(dem_small, size, sigma)
+    out = np.asarray(jax.jit(
+        lambda x: ops.tpi(x, size, sigma), static_argnums=()
+    )(dem_small))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=2e-2)
+
+
+def _std_oracle(dem, size, sigma=None, exact=False):
+    kernel = kernels.circular_kernel(size)
+    ksum = np.sum(kernel)
+    if sigma:
+        dem = ndimage.gaussian_filter(dem, sigma)
+    if exact:
+        # same semantics, float64 accumulation: the ground truth the
+        # reference's own float32 pipeline approximates
+        dem = dem.astype(np.float64)
+        kernel = kernel.astype(np.float64)
+    sq = dem.astype("int32") ** 2
+    s1 = signal.convolve(dem, kernel, mode="same")
+    s2 = signal.convolve(sq, kernel, mode="same")
+    var = (s2 - s1**2 / ksum) / (ksum - 1)
+    return np.sqrt(np.clip(var, 0, None))
+
+
+@pytest.mark.parametrize("size,sigma", [(5, None), (9, None), (15, None), (9, 1.125)])
+def test_std_parity(dem_small, size, sigma):
+    out = np.asarray(jax.jit(lambda x: ops.std(x, size, sigma))(dem_small))
+    # vs the exact float64 oracle: the centred float32 formulation stays
+    # within ~0.2 std-units even at near-zero-variance pixels (where the
+    # quadratic moments reach ~2^24 and f32 summation loses the tail)...
+    exact = _std_oracle(dem_small, size, sigma, exact=True)
+    np.testing.assert_allclose(out, exact, rtol=2e-3, atol=5e-1)
+    # ...while the reference's own float32 run wanders by O(1) at
+    # near-zero-variance pixels (catastrophic cancellation in
+    # sum_sq - sum^2/N, clipped at 0) — loose comparison only
+    ref32 = _std_oracle(dem_small, size, sigma)
+    np.testing.assert_allclose(out, ref32, rtol=5e-3, atol=2.0)
+
+
+def _gradient_oracle(dem, sigma, res_meters, sig_ratio=1):
+    if sigma <= 1:
+        k = np.array([[1, 0, -1], [2, 0, -2], [1, 0, -1]], dtype=np.float32) / 8
+        dx = ndimage.convolve(dem, k)
+        dy = ndimage.convolve(dem, k.T)
+    elif sig_ratio == 1:
+        dy, dx = np.gradient(ndimage.gaussian_filter(dem, sigma))
+    else:
+        sp = sigma * sig_ratio
+        dx = np.gradient(ndimage.gaussian_filter(dem, (sp, sigma)), axis=1)
+        dy = np.gradient(ndimage.gaussian_filter(dem, (sigma, sp)), axis=0)
+    y_res = res_meters["y"]
+    if y_res.ndim == 1:
+        y_res = y_res[:, np.newaxis]
+    dx = dx / res_meters["x"]
+    dy = dy / y_res
+    slope = np.arctan(np.sqrt(dx**2 + dy**2)) * (180 / np.pi)
+    aspect = (180 + np.degrees(np.arctan2(dx, dy))) % 360
+    return [dx, dy, slope, aspect]
+
+
+@pytest.mark.parametrize("sigma,sig_ratio", [(0.5, 1), (2.25, 1), (2.25, 2.0)])
+def test_gradient_parity(dem_small, sigma, sig_ratio):
+    ny, nx = dem_small.shape
+    res = {
+        "x": np.full(nx, 30.0, dtype=np.float32),
+        "y": np.full(ny, -30.0, dtype=np.float32),
+    }
+    refs = _gradient_oracle(dem_small, sigma, res, sig_ratio)
+    outs = jax.jit(lambda x: ops.gradient(x, sigma, res, sig_ratio))(dem_small)
+    for ref, out, tol in zip(refs, outs, [1e-5, 1e-5, 1e-3, 2e-2]):
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=tol)
+
+
+def test_gradient_2d_resolution(dem_small):
+    # geographic grids give 2-D resolution arrays (reference helpers.py:95-101)
+    ny, nx = dem_small.shape
+    rng = np.random.default_rng(1)
+    res = {
+        "x": (30.0 + rng.random((ny, nx))).astype(np.float32),
+        "y": (-30.0 - rng.random((ny, nx))).astype(np.float32),
+    }
+    refs = _gradient_oracle(dem_small, 2.25, res, 1)
+    outs = jax.jit(lambda x: ops.gradient(x, 2.25, res, 1))(dem_small)
+    for ref, out in zip(refs, outs):
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=2e-2)
+
+
+def _valley_ridge_oracle(dem, size, mode, flat_list, sigma=None):
+    if sigma:
+        dem = ndimage.gaussian_filter(dem, sigma)
+    dem = (dem - dem.mean()) / dem.std()
+    n_y, n_x = dem.shape
+    dem_b = np.broadcast_to(dem, (len(flat_list), n_y, n_x))
+    index_norm = np.zeros((n_y, n_x), dtype=np.float32) - np.inf
+    index_dir = np.zeros((n_y, n_x), dtype=np.float32)
+    base = kernels.ridge_kernels(size, flat_list) if mode == "ridge" else (
+        kernels.valley_kernels(size, flat_list)
+    )
+    for angle in np.arange(0, 180, dtype=np.float32):
+        krot = kernels.rotate_kernels(base, angle)
+        conv = signal.convolve(dem_b, krot, mode="same")
+        conv = np.max(conv, axis=0)
+        greater = conv > index_norm
+        index_norm[greater] = conv[greater]
+        index_dir[greater] = angle
+    return [np.clip(index_norm, 0, None), index_dir]
+
+
+@pytest.mark.parametrize("mode", ["valley", "ridge"])
+def test_valley_ridge_parity(dem_tiny, mode):
+    flat_list = [0, 0.2]
+    refs = _valley_ridge_oracle(dem_tiny, 7, mode, flat_list, sigma=None)
+    outs = jax.jit(
+        lambda x: ops.valley_ridge(x, 7, mode, flat_list)
+    )(dem_tiny)
+    norm, direction = (np.asarray(o) for o in outs)
+    np.testing.assert_allclose(norm, refs[0], rtol=1e-3, atol=2e-3)
+    # direction can differ only where the norm is near-tied between angles
+    mismatched = direction != refs[1]
+    assert mismatched.mean() < 0.02
+
+
+def test_valley_ridge_with_smoothing(dem_tiny):
+    flat_list = [0, 0.15, 0.3]
+    refs = _valley_ridge_oracle(dem_tiny, 9, "valley", flat_list, sigma=1.5)
+    outs = jax.jit(
+        lambda x: ops.valley_ridge(x, 9, "valley", flat_list, sigma=1.5)
+    )(dem_tiny)
+    np.testing.assert_allclose(np.asarray(outs[0]), refs[0], rtol=1e-3, atol=2e-3)
+
+
+def test_valley_ridge_rejects_bad_mode(dem_tiny):
+    with pytest.raises(ValueError):
+        ops.valley_ridge(dem_tiny, 7, "mountain")
+
+
+def _sx_oracle(dem, offsets, distances, border, height):
+    """Reference _sx_rolling semantics (topo.py:928-953) as a plain loop."""
+    ny, nx = dem.shape
+    out = np.zeros_like(dem)
+    with np.errstate(invalid="ignore"):
+        for j in range(border, ny - border):
+            for i in range(border, nx - border):
+                dem_line = dem[j + offsets[:, 0], i + offsets[:, 1]]
+                z = dem_line - (dem[j, i] + height)
+                elev = np.rad2deg(np.arctan(z / distances))
+                out[j, i] = np.nanmax(elev)
+    return out
+
+
+@pytest.mark.parametrize("radius_min", [0.0, 100.0])
+def test_sx_parity(dem_tiny, radius_min):
+    offsets, distances, border = kernels.sx_offsets(
+        azimuth=0.0, radius=300.0, dx=30.0, dy=30.0, radius_min=radius_min
+    )
+    ref = _sx_oracle(dem_tiny, offsets, distances, border, height=10.0)
+    out = np.asarray(
+        jax.jit(lambda x: ops.sx(x, offsets, distances, border, 10.0))(dem_tiny)
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-3)
+
+
+def test_sx_narrow_arc(dem_tiny):
+    # azimuth_arc=0 draws a single line (reference topo.py:828-829)
+    offsets, distances, border = kernels.sx_offsets(
+        azimuth=45.0, radius=250.0, dx=30.0, dy=30.0, azimuth_arc=0.0
+    )
+    ref = _sx_oracle(dem_tiny, offsets, distances, border, height=10.0)
+    out = np.asarray(
+        jax.jit(lambda x: ops.sx(x, offsets, distances, border, 10.0))(dem_tiny)
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-3)

@@ -1,0 +1,78 @@
+"""Configuration for topo_descriptors_tpu.
+
+The reference loads two knobs from ``config/topo_descriptors.conf`` via
+``yaconfigobject`` (reference __init__.py:15, config/topo_descriptors.conf:1-5):
+
+* ``min_elevation = -100`` — elevations <= this are masked to NaN at ingest
+  (reference helpers.py:31)
+* ``scale_std = 4`` — number of Gaussian standard deviations per unit scale,
+  i.e. ``sigma = scale_pxl / 4`` (reference topo.py:49,573; helpers.py:131)
+
+We keep both knobs with identical defaults, add the TPU-specific settings the
+reference has no analogue for (mesh layout, tiling, dtype policy), and load
+overrides from a simple ``key: value`` conf file or environment variables.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from pathlib import Path
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass
+class Config:
+    # --- reference-compatible knobs (config/topo_descriptors.conf:1-5) ---
+    min_elevation: float = -100.0
+    scale_std: float = 4.0
+
+    # --- TPU-native knobs (no reference analogue) ---
+    # Preferred 2-D device mesh layout (gy, gx); None = auto square-ish.
+    mesh_shape: Optional[Tuple[int, int]] = None
+    # Compute dtype for descriptor math on device.
+    compute_dtype: str = "float32"
+    # Use FFT convolution when the kernel area exceeds this many taps
+    # (mirrors scipy.signal.convolve's method='auto' switch, but tuned for TPU).
+    fft_conv_min_taps: int = 64 * 64
+    # Reproduce the reference's int32-truncation quirk in the rolling std
+    # (reference topo.py:300). Set False for a cleaner float32 variance.
+    std_int32_parity: bool = True
+
+    @classmethod
+    def from_file(cls, path: str | os.PathLike) -> "Config":
+        """Parse a minimal ``key: value`` conf file (one pair per line,
+        ``#`` comments), the same shape as the reference's
+        topo_descriptors.conf."""
+        cfg = cls()
+        text = Path(path).read_text()
+        for line in text.splitlines():
+            line = line.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            key, _, value = line.partition(":")
+            key = key.strip()
+            value = value.strip()
+            if not hasattr(cfg, key):
+                continue
+            field_type = type(getattr(cfg, key))
+            if field_type is bool:
+                setattr(cfg, key, value.lower() in ("1", "true", "yes"))
+            elif field_type in (int, float):
+                setattr(cfg, key, field_type(float(value)))
+            else:
+                setattr(cfg, key, value)
+        return cfg
+
+
+def _load_default() -> Config:
+    path = os.environ.get("TOPO_TPU_CONFIG")
+    if path and Path(path).exists():
+        return Config.from_file(path)
+    default = Path(__file__).with_name("topo_descriptors_tpu.conf")
+    if default.exists():
+        return Config.from_file(default)
+    return Config()
+
+
+CFG = _load_default()

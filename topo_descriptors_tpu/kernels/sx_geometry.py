@@ -1,0 +1,130 @@
+"""Sx (Winstral) ray geometry, computed host-side.
+
+The reference builds the Sx scan from three geometric pieces
+(topo.py:861-925): a metric distance window, ray-endpoint index deltas for
+the azimuth arc, and vectorized Bresenham lines from each endpoint to the
+centre. We reproduce those semantics (they are golden-tested by the
+reference's own unit vectors, test/test_topo.py:6-67) and add
+:func:`sx_offsets`, which collapses the line pixels into a static
+``(K, 3)`` table of (dy, dx, 1/distance) — the form the TPU kernel consumes
+as a shifted-max reduction instead of the reference's per-pixel Numba loop
+(topo.py:928-953).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+
+def sx_distance(radius: float, dx: float, dy: float) -> np.ndarray:
+    """Metric distance-from-centre window of size ~(2*radius_pxl+1)^2.
+
+    Reference semantics (topo.py:861-878): ``radius_pxl = max(radius/|dy|,
+    radius/|dx|)`` (float); the window length is ``np.arange(2*radius_pxl+1)``
+    — i.e. ``ceil`` of the float size; distances use the *signed* per-axis
+    resolutions. float64 output (golden: reference test_topo.py:6-28).
+    """
+    dx_abs = np.abs(dx)
+    dy_abs = np.abs(dy)
+    radius_pxl = max(radius / dy_abs, radius / dx_abs)
+
+    window = 2 * radius_pxl + 1  # float; arange ceils it
+    center = np.floor(window / 2)
+    x = np.arange(window)
+    y = np.arange(window)
+    x, y = np.meshgrid(x, y)
+    return np.sqrt((((y - center) * dy) ** 2) + ((x - center) * dx) ** 2)
+
+
+def sx_source_idx_delta(azimuths, radius: float, dx: float, dy: float) -> np.ndarray:
+    """Index deltas of ray endpoints at ``radius`` for each azimuth.
+
+    Reference semantics (topo.py:881-892): rows are (dy_idx, dx_idx) =
+    (rint(r/dy cos az), rint(r/dx sin az)), int64
+    (golden: reference test_topo.py:57-67).
+    """
+    azimuths_rad = np.deg2rad(np.asarray(azimuths))
+    delta_y_idx = np.rint(radius / dy * np.cos(azimuths_rad))
+    delta_x_idx = np.rint(radius / dx * np.sin(azimuths_rad))
+    return np.column_stack([delta_y_idx, delta_x_idx]).astype(np.int64)
+
+
+def sx_bresenhamlines(start: np.ndarray, end: np.ndarray) -> np.ndarray:
+    """All integer pixels on the lines from each start to the common end.
+
+    Reference semantics (topo.py:895-925): uniform steps along the dominant
+    axis, ``np.rint`` to the lattice, trimmed to the monotonically-approaching
+    prefix of each line, with the endpoint itself removed. Output is the
+    per-line pixel lists concatenated in line order, shape (K, 2) int
+    (golden: reference test_topo.py:31-54).
+    """
+    start = np.asarray(start)
+    end = np.asarray(end)
+    max_iter = np.max(np.max(np.abs(end - start), axis=1))
+
+    slope = end - start
+    scale = np.max(np.abs(slope), axis=1).reshape(-1, 1)
+    zeroslope = (scale == 0).all(1)
+    scale[zeroslope] = np.ones(1)
+    normalizedslope = np.array(slope, dtype=np.double) / scale
+    normalizedslope[zeroslope] = np.zeros(slope[0].shape)
+
+    stepseq = np.arange(1, max_iter + 1)
+    stepmat = np.tile(stepseq, (start.shape[1], 1)).T
+    blines = start[:, np.newaxis, :] + normalizedslope[:, np.newaxis, :] * stepmat
+    blines = np.array(np.rint(blines), dtype=start.dtype)
+
+    # keep only the prefix of each line that approaches the end point
+    bsum = np.abs(blines - end).sum(axis=2)
+    mask = np.diff(bsum, prepend=bsum[:, 0:1]) <= 0
+    blines = blines[mask].reshape(-1, start.shape[-1])
+    at_end = np.all(blines == end, axis=1)
+    return blines[~at_end]
+
+
+def sx_offsets(
+    azimuth: float,
+    radius: float,
+    dx: float,
+    dy: float,
+    azimuth_arc: float = 10.0,
+    azimuth_steps: int = 15,
+    radius_min: float = 0.0,
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Static offset table for the TPU Sx kernel.
+
+    Reproduces the host-side geometry of reference sx() (topo.py:828-853):
+    azimuth fan, distance window with radius_min masked to NaN, ray endpoints
+    and Bresenham pixels — then recentres the line pixels to signed offsets.
+
+    Returns
+    -------
+    offsets : (K, 2) int32 — (dy, dx) offsets relative to the target pixel,
+        concatenated over all rays in the fan (duplicates kept: the max
+        reduction makes them harmless, and keeping them preserves reference
+        NaN semantics exactly).
+    distances : (K,) float64 — metric distance per offset; NaN where the
+        window pixel is closer than ``radius_min`` (reference topo.py:845).
+    border : int — width of the untouched border the reference leaves at 0
+        (``int(window_size/2)``, topo.py:932,940-941).
+    """
+    if azimuth_arc == 0:
+        azimuth_steps = 1
+    azimuths = np.linspace(
+        azimuth - azimuth_arc / 2, azimuth + azimuth_arc / 2, azimuth_steps
+    )
+
+    window_distance = sx_distance(radius, dx, dy)
+    window_distance[window_distance < radius_min] = np.nan
+
+    window_center = np.floor(np.array(window_distance.shape) / 2)
+    source_delta = sx_source_idx_delta(azimuths, radius, dx, dy)
+    source = (window_center + source_delta).astype(int)
+    lines = sx_bresenhamlines(source, window_center)
+
+    distances = window_distance[lines[:, 0], lines[:, 1]]
+    border = int(window_distance.shape[0] / 2)
+    offsets = (lines - border).astype(np.int32)
+    return offsets, distances, border

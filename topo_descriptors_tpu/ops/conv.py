@@ -1,0 +1,406 @@
+"""Stencil/convolution engine (single-chip XLA core).
+
+This layer replaces the reference's scipy substrate with jit-compiled XLA:
+
+* ``scipy.signal.convolve(mode='same')`` (reference topo.py:175,301-302,443)
+  -> :func:`conv2d_same`, with a direct MXU path for small kernels and an
+  FFT path for large ones (mirroring scipy's method='auto' switch, but with
+  the crossover tuned for TPU).
+* ``scipy.ndimage.gaussian_filter`` (reference topo.py:80,173,298,427,631)
+  -> :func:`gaussian_filter`, separable taps with 'reflect' boundary and
+  truncate=4.0 parity.
+* ``scipy.ndimage.convolve`` (reference topo.py:682-683)
+  -> :func:`convolve_reflect`.
+* ``np.gradient`` central/one-sided differences (reference topo.py:631-635)
+  -> :func:`gradient_axis`.
+
+Everything here is shape-static and jit-safe; boundary handling is explicit
+so the sharded wrappers (parallel/) can substitute halo data for padding.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from topo_descriptors_tpu.config import CFG
+from topo_descriptors_tpu.kernels.gaussian import gaussian_kernel1d
+
+Array = jax.Array
+
+
+def _fft_shape(n: int) -> int:
+    """Next 5-smooth length >= n (scipy.fft.next_fast_len equivalent),
+    so the XLA FFT factors into small radices."""
+    if n <= 6:
+        return max(n, 1)
+    best = 1 << (n - 1).bit_length()  # pow2 upper bound
+    p5 = 1
+    while p5 <= best:
+        p35 = p5
+        while p35 <= best:
+            m = p35
+            while m < n:
+                m *= 2
+            best = min(best, m)
+            p35 *= 3
+        p5 *= 5
+    return best
+
+
+def conv2d_same(
+    x: Array,
+    kernel: np.ndarray,
+    method: str = "auto",
+) -> Array:
+    """2-D convolution, ``mode='same'`` with zero boundary.
+
+    Parity target: ``scipy.signal.convolve(x, kernel, mode='same')``
+    (true convolution — kernel flipped — with the 'same' crop anchored at
+    ``(k-1)//2``). Accepts even kernel dims (the rotated valley/ridge kernels
+    have them).
+    """
+    kernel = np.asarray(kernel)
+    if method == "auto":
+        method = "fft" if kernel.size >= CFG.fft_conv_min_taps else "direct"
+    if method == "fft":
+        return _conv2d_same_fft(x, jnp.asarray(kernel, dtype=x.dtype))
+    return _conv2d_same_direct(x, jnp.asarray(kernel, dtype=x.dtype))
+
+
+def _same_pads(k: int) -> Tuple[int, int]:
+    """(lo, hi) zero-padding for scipy 'same' anchoring: crop starts at
+    s=(k-1)//2 of the full convolution, i.e. pad lo = k-1-s, hi = s."""
+    s = (k - 1) // 2
+    return k - 1 - s, s
+
+
+def _conv2d_same_direct(x: Array, kernel: Array) -> Array:
+    kh, kw = kernel.shape
+    pads = (_same_pads(kh), _same_pads(kw))
+    # convolution = correlation with the flipped kernel
+    flipped = kernel[::-1, ::-1]
+    out = jax.lax.conv_general_dilated(
+        x[None, None, :, :],
+        flipped[None, None, :, :],
+        window_strides=(1, 1),
+        padding=pads,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=x.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out[0, 0]
+
+
+def _conv2d_same_fft(x: Array, kernel: Array) -> Array:
+    h, w = x.shape
+    kh, kw = kernel.shape
+    fh = _fft_shape(h + kh - 1)
+    fw = _fft_shape(w + kw - 1)
+    fx = jnp.fft.rfft2(x, s=(fh, fw))
+    fk = jnp.fft.rfft2(kernel, s=(fh, fw))
+    full = jnp.fft.irfft2(fx * fk, s=(fh, fw))
+    sh = (kh - 1) // 2
+    sw = (kw - 1) // 2
+    return jax.lax.slice(full, (sh, sw), (sh + h, sw + w)).astype(x.dtype)
+
+
+def conv2d_same_batch(x: Array, kernels: Array, method: str = "auto") -> Array:
+    """Convolve one 2-D field with a bank of kernels -> (n_kernels, H, W).
+
+    The batched form of :func:`conv2d_same` used by valley/ridge: one MXU
+    convolution with the bank as output channels, or one batched FFT with
+    the field transform computed a single time.
+    """
+    kernels = jnp.asarray(kernels, dtype=x.dtype)
+    n, kh, kw = kernels.shape
+    if method == "auto":
+        method = "fft" if kh * kw >= CFG.fft_conv_min_taps else "direct"
+    if method == "fft":
+        h, w = x.shape
+        fh = _fft_shape(h + kh - 1)
+        fw = _fft_shape(w + kw - 1)
+        fx = jnp.fft.rfft2(x, s=(fh, fw))
+        fk = jnp.fft.rfft2(kernels, s=(fh, fw))
+        full = jnp.fft.irfft2(fx[None] * fk, s=(fh, fw))
+        sh = (kh - 1) // 2
+        sw = (kw - 1) // 2
+        return jax.lax.slice(full, (0, sh, sw), (n, sh + h, sw + w)).astype(x.dtype)
+    pads = (_same_pads(kh), _same_pads(kw))
+    flipped = kernels[:, ::-1, ::-1]
+    out = jax.lax.conv_general_dilated(
+        x[None, None, :, :],
+        flipped[:, None, :, :],
+        window_strides=(1, 1),
+        padding=pads,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=x.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out[0]
+
+
+def conv2d_valid(xs: Array, kernel: np.ndarray, method: str = "auto") -> Array:
+    """VALID-mode true convolution of a (B, H, W) stack with one kernel.
+
+    ``out[i] = sum_j x[i+j] * flip(kernel)[j]`` — the form the sharded path
+    uses on halo-extended blocks: with halos of ``(k-1-s, s)`` rows/cols
+    (s = (k-1)//2), the VALID output over the extended block equals the
+    interior of the global 'same' convolution exactly.
+    """
+    kernel = np.asarray(kernel)
+    kh, kw = kernel.shape
+    if method == "auto":
+        method = "fft" if kernel.size >= CFG.fft_conv_min_taps else "direct"
+    b, h, w = xs.shape
+    if method == "fft":
+        fh = _fft_shape(h)
+        fw = _fft_shape(w)
+        fx = jnp.fft.rfft2(xs, s=(fh, fw))
+        fk = jnp.fft.rfft2(jnp.asarray(kernel, dtype=xs.dtype), s=(fh, fw))
+        full = jnp.fft.irfft2(fx * fk[None], s=(fh, fw))
+        return jax.lax.slice(
+            full, (0, kh - 1, kw - 1), (b, h, w)
+        ).astype(xs.dtype)
+    flipped = jnp.asarray(kernel, dtype=xs.dtype)[::-1, ::-1]
+    out = jax.lax.conv_general_dilated(
+        xs[:, None, :, :],
+        flipped[None, None, :, :],
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=xs.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out[:, 0]
+
+
+def conv2d_valid_bank(x: Array, kernels: Array, method: str = "auto") -> Array:
+    """VALID-mode true convolution of one 2-D field with a kernel bank
+    -> (n_kernels, H-kh+1, W-kw+1). Used by sharded valley/ridge on
+    halo-extended blocks."""
+    kernels = jnp.asarray(kernels, dtype=x.dtype)
+    n, kh, kw = kernels.shape
+    if method == "auto":
+        method = "fft" if kh * kw >= CFG.fft_conv_min_taps else "direct"
+    h, w = x.shape
+    if method == "fft":
+        fh = _fft_shape(h)
+        fw = _fft_shape(w)
+        fx = jnp.fft.rfft2(x, s=(fh, fw))
+        fk = jnp.fft.rfft2(kernels, s=(fh, fw))
+        full = jnp.fft.irfft2(fx[None] * fk, s=(fh, fw))
+        return jax.lax.slice(full, (0, kh - 1, kw - 1), (n, h, w)).astype(x.dtype)
+    flipped = kernels[:, ::-1, ::-1]
+    out = jax.lax.conv_general_dilated(
+        x[None, None, :, :],
+        flipped[:, None, :, :],
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=x.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out[0]
+
+
+def conv2d_same_multi(xs: Array, kernel: np.ndarray, method: str = "auto") -> Array:
+    """Convolve a stack of 2-D fields (B, H, W) with one kernel -> (B, H, W).
+
+    The multi-field form of :func:`conv2d_same`; the kernel transform (FFT
+    path) or filter constant (direct path) is shared across the stack. Used
+    by the rolling-STD op, which needs three moment fields convolved with the
+    same disk.
+    """
+    kernel = np.asarray(kernel)
+    kh, kw = kernel.shape
+    if method == "auto":
+        method = "fft" if kernel.size >= CFG.fft_conv_min_taps else "direct"
+    if method == "fft":
+        b, h, w = xs.shape
+        fh = _fft_shape(h + kh - 1)
+        fw = _fft_shape(w + kw - 1)
+        fx = jnp.fft.rfft2(xs, s=(fh, fw))
+        fk = jnp.fft.rfft2(jnp.asarray(kernel, dtype=xs.dtype), s=(fh, fw))
+        full = jnp.fft.irfft2(fx * fk[None], s=(fh, fw))
+        sh = (kh - 1) // 2
+        sw = (kw - 1) // 2
+        return jax.lax.slice(full, (0, sh, sw), (b, sh + h, sw + w)).astype(xs.dtype)
+    pads = (_same_pads(kh), _same_pads(kw))
+    flipped = jnp.asarray(kernel, dtype=xs.dtype)[::-1, ::-1]
+    out = jax.lax.conv_general_dilated(
+        xs[:, None, :, :],
+        flipped[None, None, :, :],
+        window_strides=(1, 1),
+        padding=pads,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=xs.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out[:, 0]
+
+
+# --- reflect padding & separable Gaussian -----------------------------------
+
+
+def reflect_pad_1d(x: Array, axis: int, lo: int, hi: int) -> Array:
+    """Symmetric ('reflect' in scipy.ndimage terms: d c b a | a b c d) padding
+    along one axis, supporting pad widths larger than the axis length by
+    repeated reflection (scipy does the same for tiny inputs / huge sigmas)."""
+    n = x.shape[axis]
+    while lo > 0 or hi > 0:
+        take_lo = min(lo, n)
+        take_hi = min(hi, n)
+        parts = []
+        if take_lo:
+            sl = [slice(None)] * x.ndim
+            sl[axis] = slice(0, take_lo)
+            parts.append(jnp.flip(x[tuple(sl)], axis=axis))
+        parts.append(x)
+        if take_hi:
+            sl = [slice(None)] * x.ndim
+            sl[axis] = slice(n - take_hi, n)
+            parts.append(jnp.flip(x[tuple(sl)], axis=axis))
+        x = jnp.concatenate(parts, axis=axis)
+        n = x.shape[axis]
+        lo -= take_lo
+        hi -= take_hi
+    return x
+
+
+def _correlate1d_valid(x: Array, taps: Array, axis: int) -> Array:
+    """1-D correlation along ``axis`` with VALID padding via conv_general_dilated."""
+    if axis == 0:
+        kernel = taps[None, None, :, None]
+    else:
+        kernel = taps[None, None, None, :]
+    out = jax.lax.conv_general_dilated(
+        x[None, None, :, :],
+        kernel,
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=x.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out[0, 0]
+
+
+def gaussian_filter(
+    x: Array,
+    sigma: Union[float, Tuple[float, float]],
+    truncate: float = 4.0,
+    pad: bool = True,
+) -> Array:
+    """Separable Gaussian smoothing with scipy.ndimage parity.
+
+    Matches ``scipy.ndimage.gaussian_filter(x, sigma)`` — truncated sampled
+    taps (radius int(truncate*sigma+0.5)), 'reflect' boundary, sequential
+    per-axis passes (reference call sites: topo.py:80,173,298,427,631,634-635).
+    ``sigma`` may be a scalar or per-axis ``(sigma_y, sigma_x)``.
+    ``pad=False`` skips boundary padding and returns the VALID interior —
+    the sharded path uses this after halo exchange.
+    """
+    if np.isscalar(sigma):
+        sigmas = (float(sigma), float(sigma))
+    else:
+        sigmas = (float(sigma[0]), float(sigma[1]))
+    for axis, s in enumerate(sigmas):
+        if s <= 0:
+            continue
+        taps = jnp.asarray(gaussian_kernel1d(s, truncate), dtype=x.dtype)
+        r = (taps.shape[0] - 1) // 2
+        if pad:
+            x = reflect_pad_1d(x, axis, r, r)
+        x = _correlate1d_valid(x, taps, axis)
+    return x
+
+
+def convolve_reflect(x: Array, kernel: np.ndarray) -> Array:
+    """True 2-D convolution with 'reflect' boundary.
+
+    Parity target: ``scipy.ndimage.convolve(x, kernel)`` with the default
+    mode='reflect' and origin 0 (used by the Sobel path, reference
+    topo.py:682-683). Odd kernel dims only.
+    """
+    kernel = jnp.asarray(np.asarray(kernel), dtype=x.dtype)
+    kh, kw = kernel.shape
+    rh, rw = kh // 2, kw // 2
+    xp = reflect_pad_1d(x, 0, rh, rh)
+    xp = reflect_pad_1d(xp, 1, rw, rw)
+    flipped = kernel[::-1, ::-1]
+    out = jax.lax.conv_general_dilated(
+        xp[None, None, :, :],
+        flipped[None, None, :, :],
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=x.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out[0, 0]
+
+
+def gradient_axis(x: Array, axis: int, edge_order: str = "one_sided") -> Array:
+    """``np.gradient`` along one axis: central differences in the interior,
+    one-sided differences at the two edges (reference topo.py:631-635).
+
+    ``edge_order='none'`` keeps central differences everywhere using the
+    available neighbours only — the sharded path uses it on halo-extended
+    blocks where the true edge lives on another device.
+    """
+    upper = jnp.roll(x, -1, axis=axis)
+    lower = jnp.roll(x, 1, axis=axis)
+    grad = (upper - lower) * jnp.asarray(0.5, dtype=x.dtype)
+    if edge_order == "none":
+        return grad
+    n = x.shape[axis]
+
+    def tk(i):
+        sl = [slice(None)] * x.ndim
+        sl[axis] = i
+        return x[tuple(sl)]
+
+    first = tk(1) - tk(0)
+    last = tk(n - 1) - tk(n - 2)
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    grad = jnp.where(idx == 0, jnp.expand_dims(first, axis), grad)
+    grad = jnp.where(idx == n - 1, jnp.expand_dims(last, axis), grad)
+    return grad
+
+
+# --- exact boundary count plane ---------------------------------------------
+
+
+def edge_count_plane(shape: Tuple[int, int], kernel: np.ndarray) -> np.ndarray:
+    """Exact ``conv2d_same(ones(shape), kernel)`` computed host-side in float64.
+
+    Near the zero-padded boundary a 'same' convolution sums fewer kernel taps;
+    this plane gives the exact per-pixel sum of in-bounds taps via the
+    kernel's integral image (O(N), no convolution). Used by the centered
+    (precision-preserving) TPI/STD formulations so float32 device math matches
+    scipy's float64-accumulated results near the borders.
+    """
+    h, w = shape
+    kernel = np.asarray(kernel, dtype=np.float64)
+    kh, kw = kernel.shape
+    sh, sw = (kh - 1) // 2, (kw - 1) // 2
+    integral = np.zeros((kh + 1, kw + 1))
+    integral[1:, 1:] = kernel.cumsum(0).cumsum(1)
+
+    y = np.arange(h)
+    x = np.arange(w)
+    # kernel row-index window for output row y: m in [y+sh-(h-1), y+sh] clipped
+    m0 = np.clip(y + sh - (h - 1), 0, kh)
+    m1 = np.clip(y + sh + 1, 0, kh)
+    n0 = np.clip(x + sw - (w - 1), 0, kw)
+    n1 = np.clip(x + sw + 1, 0, kw)
+    return (
+        integral[np.ix_(m1, n1)]
+        - integral[np.ix_(m0, n1)]
+        - integral[np.ix_(m1, n0)]
+        + integral[np.ix_(m0, n0)]
+    )

@@ -1,0 +1,68 @@
+"""Sx (Winstral wind-shelter) horizon scan."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def sx(
+    dem: jax.Array,
+    offsets: np.ndarray,
+    distances: np.ndarray,
+    border: int,
+    height: float = 10.0,
+) -> jax.Array:
+    """Maximum elevation angle along the azimuth fan's ray pixels.
+
+    Parity target: reference ``_sx_rolling`` (topo.py:928-953): for every
+    interior pixel, gather the DEM along all Bresenham line pixels,
+    ``elev = atan((dem_line - dem0 - height) / dist)`` in degrees, NaN-ignoring
+    max; a border of width ``border`` stays 0.
+
+    TPU restructure: the reference's per-pixel gather loop becomes K
+    whole-array shifted fused-multiply-max passes over static offsets —
+    a pure data-parallel reduction with *no* gathers. Two identities make
+    this cheap:
+
+    * ``atan`` is monotonic, so ``max(atan(r_k)) == atan(max(r_k))`` — one
+      transcendental per pixel instead of K;
+    * NaN distances (radius_min exclusions, reference topo.py:845) map to
+      NaN ratios, which ``fmax`` skips exactly like the reference's
+      ``np.nanmax``.
+
+    Parameters come from :func:`topo_descriptors_tpu.kernels.sx_offsets`.
+    """
+    h, w = dem.shape
+    offsets = np.asarray(offsets)
+    inv_dist = (1.0 / np.asarray(distances)).astype(np.float32)
+
+    pad = int(border)
+    padded = jnp.pad(dem, pad, mode="constant", constant_values=np.nan)
+
+    base = dem + jnp.asarray(height, dtype=dem.dtype)
+    neg_inf = jnp.full((h, w), -jnp.inf, dtype=dem.dtype)
+
+    offs = jnp.asarray(offsets + pad, dtype=jnp.int32)  # slice starts, >= 0
+    invs = jnp.asarray(inv_dist, dtype=dem.dtype)
+
+    def step(carry, inputs):
+        start, inv = inputs
+        shifted = jax.lax.dynamic_slice(padded, (start[0], start[1]), (h, w))
+        ratio = (shifted - base) * inv
+        return jnp.fmax(carry, ratio), None
+
+    max_ratio, _ = jax.lax.scan(step, neg_inf, (offs, invs))
+
+    sx_deg = jnp.degrees(jnp.arctan(max_ratio))
+    # no valid candidate at all (NaN centre pixel, or radius_min masked every
+    # ray pixel) -> reference np.nanmax yields NaN (topo.py:951)
+    sx_deg = jnp.where(jnp.isneginf(max_ratio), jnp.nan, sx_deg)
+
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    interior = (
+        (yy >= pad) & (yy < h - pad) & (xx >= pad) & (xx < w - pad)
+    )
+    return jnp.where(interior, sx_deg, 0.0).astype(dem.dtype)

@@ -1,0 +1,404 @@
+"""Sharded descriptor ops: shard_map wrappers with per-op halo exchange.
+
+Every method of :class:`ShardedOps` computes a full descriptor on a DEM that
+lives blocked over the ('gy','gx') mesh, producing bit-equivalent results to
+the single-chip ops on valid interiors:
+
+* convolution halos sized by the kernel's 'same' anchor ((k-1-s, s) per axis)
+* Gaussian halos of the tap radius with reflect fill at true edges
+* np.gradient edges reproduced via linear-extrapolation fill
+* global statistics (valley/ridge standardization topo.py:429; the
+  float32-stabilizing centring constants) as ``pmean`` collectives
+* Sx halos of the full ray length, multi-hop when rays span several blocks
+
+Global shapes must divide the mesh evenly (use ``mesh.pad_to_mesh`` +
+cropping at the driver level for ragged grids).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from topo_descriptors_tpu.kernels.disk import circular_kernel
+from topo_descriptors_tpu.kernels.gaussian import gaussian_kernel1d, gaussian_radius
+from topo_descriptors_tpu.kernels.sobel import sobel_kernel
+from topo_descriptors_tpu.ops import conv as C
+from topo_descriptors_tpu.ops.valley_ridge import (
+    _flat_axis_combine,
+    prepare_valley_bank,
+)
+from topo_descriptors_tpu.parallel.halo import (
+    exchange_halo,
+    global_index,
+    halo_pad_1d,
+)
+from topo_descriptors_tpu.parallel.mesh import GX, GY
+
+SPATIAL = P(GY, GX)
+
+
+def _global_mean(x: jax.Array) -> jax.Array:
+    """Mean over the full sharded field (uniform blocks -> mean of means)."""
+    return jax.lax.pmean(jnp.mean(x), (GY, GX))
+
+
+def _varying(x: jax.Array) -> jax.Array:
+    """Mark a replicated constant as device-varying over the spatial mesh,
+    so it can seed a scan carry whose outputs are varying (shard_map's
+    varying-manual-axes typing)."""
+    return jax.lax.pcast(x, (GY, GX), to="varying")
+
+
+class ShardedOps:
+    """Descriptor suite over a 2-D device mesh.
+
+    Construct once per mesh; methods are jit-compiled shard_map programs
+    cached per static-parameter signature. Inputs/outputs are global jax
+    arrays carrying a ``NamedSharding(mesh, P('gy','gx'))``.
+    """
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+        self.gy, self.gx = mesh.devices.shape
+        self._cache = {}
+
+    # ------------------------------------------------------------------
+    def _spec(self):
+        return NamedSharding(self.mesh, SPATIAL)
+
+    def _check(self, shape):
+        if shape[0] % self.gy or shape[1] % self.gx:
+            raise ValueError(
+                f"global shape {shape} must divide mesh "
+                f"({self.gy}, {self.gx}); pad with mesh.pad_to_mesh first"
+            )
+
+    def _wrap(self, key, builder, n_args: int, n_out: int = 1):
+        fn = self._cache.get(key)
+        if fn is None:
+            local = builder()
+            out_specs = SPATIAL if n_out == 1 else tuple([SPATIAL] * n_out)
+            fn = jax.jit(
+                shard_map(
+                    local,
+                    mesh=self.mesh,
+                    in_specs=tuple([SPATIAL] * n_args),
+                    out_specs=out_specs,
+                )
+            )
+            self._cache[key] = fn
+        return fn
+
+    def put(self, array) -> jax.Array:
+        """Place a global array onto the mesh, spatially blocked."""
+        self._check(array.shape)
+        return jax.device_put(array, self._spec())
+
+    # ------------------------------------------------------------------
+    def _local_gaussian(self, block, sigma, truncate=4.0):
+        """Per-axis separable Gaussian on a local block: halo-exchange the tap
+        radius with reflect fill at the true boundary, then VALID correlate —
+        equal to scipy.ndimage.gaussian_filter of the global field."""
+        sigmas = (sigma, sigma) if np.isscalar(sigma) else tuple(sigma)
+        mesh_sizes = (self.gy, self.gx)
+        names = (GY, GX)
+        for axis, s in enumerate(sigmas):
+            if not s or s <= 0:
+                continue
+            taps = jnp.asarray(gaussian_kernel1d(s, truncate), dtype=block.dtype)
+            r = gaussian_radius(s, truncate)
+            block = halo_pad_1d(block, axis, (r, r), names[axis], mesh_sizes[axis],
+                                fill="reflect")
+            block = C._correlate1d_valid(block, taps, axis)
+        return block
+
+    # ------------------------------------------------------------------
+    def gaussian(self, x: jax.Array, sigma, truncate: float = 4.0) -> jax.Array:
+        """Sharded scipy-parity Gaussian smoothing (reference dem op,
+        topo.py:62-80)."""
+        self._check(x.shape)
+        sig_key = tuple(sigma) if not np.isscalar(sigma) else float(sigma)
+
+        def build():
+            return lambda b: self._local_gaussian(b, sigma, truncate)
+
+        return self._wrap(("gauss", sig_key, truncate, x.shape), build, 1)(x)
+
+    # ------------------------------------------------------------------
+    def tpi(
+        self, x: jax.Array, size: int, sigma: Optional[float] = None
+    ) -> jax.Array:
+        """Sharded TPI (reference topo.py:145-181)."""
+        self._check(x.shape)
+        kernel = circular_kernel(size, exclude_center=True)
+        ksum = float(kernel.sum())
+        counts = self.put(
+            C.edge_count_plane(x.shape, kernel).astype(np.float32)
+        )
+        kh, kw = kernel.shape
+        (ply, phy), (plx, phx) = C._same_pads(kh), C._same_pads(kw)
+
+        def build():
+            def local(block, counts_l):
+                if sigma:
+                    block = self._local_gaussian(block, sigma)
+                c = jnp.round(_global_mean(block))
+                z = block - c
+                zp = exchange_halo(
+                    z, (ply, phy), (plx, phx), (self.gy, self.gx), fill="zero"
+                )
+                conv = C.conv2d_valid(zp[None], kernel)[0]
+                return block - (conv + c * counts_l) / ksum
+
+            return local
+
+        return self._wrap(("tpi", size, sigma, x.shape), build, 2)(x, counts)
+
+    # ------------------------------------------------------------------
+    def std(
+        self,
+        x: jax.Array,
+        size: int,
+        sigma: Optional[float] = None,
+        int32_parity: bool = True,
+    ) -> jax.Array:
+        """Sharded rolling STD (reference topo.py:272-307), with the
+        mean-centred float32-stable formulation of ops.std."""
+        self._check(x.shape)
+        kernel = circular_kernel(size)
+        ksum = float(kernel.sum())
+        counts = self.put(C.edge_count_plane(x.shape, kernel).astype(np.float32))
+        kh, kw = kernel.shape
+        (ply, phy), (plx, phx) = C._same_pads(kh), C._same_pads(kw)
+
+        def build():
+            def local(block, counts_l):
+                if sigma:
+                    block = self._local_gaussian(block, sigma)
+                c = jnp.round(_global_mean(block))
+                t = jnp.trunc(block) if int32_parity else block
+                stack = jnp.stack([(t - c) * (t - c), t - c, block - c])
+                stackp = exchange_halo(
+                    stack,
+                    (ply, phy),
+                    (plx, phx),
+                    (self.gy, self.gx),
+                    fill="zero",
+                    y_axis=1,
+                    x_axis=2,
+                )
+                q, tt, z = C.conv2d_valid(stackp, kernel)
+                sum_sq = q + 2.0 * c * tt + c * c * counts_l
+                sum_dem = z + c * counts_l
+                var = (sum_sq - sum_dem * sum_dem / ksum) / (ksum - 1.0)
+                return jnp.sqrt(jnp.clip(var, 0.0, None))
+
+            return local
+
+        return self._wrap(
+            ("std", size, sigma, int32_parity, x.shape), build, 2
+        )(x, counts)
+
+    # ------------------------------------------------------------------
+    def _central_diff(self, block, axis):
+        """np.gradient: halo of 1 with linear-extrapolation fill makes the
+        central difference reproduce the one-sided edge formula."""
+        names = (GY, GX)
+        sizes = (self.gy, self.gx)
+        ext = halo_pad_1d(block, axis, (1, 1), names[axis], sizes[axis],
+                          fill="linear_extrap")
+        n = ext.shape[axis]
+        hi = _slice_axis(ext, axis, 2, n)
+        lo = _slice_axis(ext, axis, 0, n - 2)
+        return (hi - lo) * jnp.asarray(0.5, block.dtype)
+
+    def gradient(
+        self,
+        x: jax.Array,
+        sigma: float,
+        res_meters,
+        sig_ratio: float = 1.0,
+    ):
+        """Sharded gradient/slope/aspect (reference topo.py:597-644).
+
+        ``res_meters`` is the dict from scale_to_pixel; resolutions are
+        broadcast host-side to full 2-D planes so both projected (1-D) and
+        geographic (2-D) grids shard uniformly.
+        """
+        self._check(x.shape)
+        h, w = x.shape
+        xr = np.broadcast_to(
+            np.asarray(res_meters["x"], dtype=np.float32), (h, w)
+        )
+        yr = np.asarray(res_meters["y"], dtype=np.float32)
+        if yr.ndim == 1:
+            yr = yr[:, None]
+        yr = np.broadcast_to(yr, (h, w))
+        xr_s = self.put(np.ascontiguousarray(xr))
+        yr_s = self.put(np.ascontiguousarray(yr))
+
+        def build():
+            def local(block, xres, yres):
+                if sigma <= 1:
+                    k = sobel_kernel()
+                    ext = exchange_halo(
+                        block, 1, 1, (self.gy, self.gx), fill="reflect"
+                    )
+                    dx = C.conv2d_valid(ext[None], k)[0]
+                    dy = C.conv2d_valid(ext[None], k.T)[0]
+                elif sig_ratio == 1:
+                    smooth = self._local_gaussian(block, sigma)
+                    dy = self._central_diff(smooth, 0)
+                    dx = self._central_diff(smooth, 1)
+                else:
+                    sp = sigma * sig_ratio
+                    dx = self._central_diff(
+                        self._local_gaussian(block, (sp, sigma)), 1
+                    )
+                    dy = self._central_diff(
+                        self._local_gaussian(block, (sigma, sp)), 0
+                    )
+                dx = dx / xres
+                dy = dy / yres
+                rad2deg = jnp.asarray(180.0 / np.pi, block.dtype)
+                slope = jnp.arctan(jnp.sqrt(dx * dx + dy * dy)) * rad2deg
+                aspect = (180.0 + jnp.degrees(jnp.arctan2(dx, dy))) % 360.0
+                return dx, dy, slope, aspect
+
+            return local
+
+        return self._wrap(
+            ("grad", sigma, sig_ratio, x.shape), build, 3, n_out=4
+        )(x, xr_s, yr_s)
+
+    # ------------------------------------------------------------------
+    def valley_ridge(
+        self,
+        x: jax.Array,
+        size: int,
+        mode: str,
+        flat_list: Sequence[float] = (0, 0.15, 0.3),
+        sigma: Optional[float] = None,
+    ):
+        """Sharded valley/ridge index (reference topo.py:389-453). The global
+        standardization becomes a pmean collective; the angle loop stays a
+        device-side scan over the precomputed rotated bank."""
+        self._check(x.shape)
+        bank = prepare_valley_bank(size, mode, tuple(flat_list))
+        a_angles, n_flats, ky, kx = bank.shape
+        (ply, phy), (plx, phx) = C._same_pads(ky), C._same_pads(kx)
+
+        def build():
+            bank_j = jnp.asarray(bank)
+            angles_j = jnp.arange(a_angles, dtype=jnp.float32)
+
+            def local(block):
+                if sigma:
+                    block = self._local_gaussian(block, sigma)
+                mean = _global_mean(block)
+                var = _global_mean((block - mean) ** 2)
+                block = (block - mean) / jnp.sqrt(var)
+                padded = exchange_halo(
+                    block, (ply, phy), (plx, phx), (self.gy, self.gx), "zero"
+                )
+
+                def step(carry, inputs):
+                    norm, direction = carry
+                    kernels, angle = inputs
+                    convs = C.conv2d_valid_bank(padded, kernels)
+                    combined = jnp.max(_flat_axis_combine(convs), axis=0)
+                    greater = combined > norm
+                    return (
+                        jnp.where(greater, combined, norm),
+                        jnp.where(greater, angle, direction),
+                    ), None
+
+                init = (
+                    _varying(jnp.full(block.shape, -jnp.inf, block.dtype)),
+                    _varying(jnp.zeros(block.shape, block.dtype)),
+                )
+                (norm, direction), _ = jax.lax.scan(
+                    step, init, (bank_j, angles_j)
+                )
+                return jnp.clip(norm, 0.0, None), direction
+
+            return local
+
+        return self._wrap(
+            ("valley", size, mode, tuple(flat_list), sigma, x.shape),
+            build,
+            1,
+            n_out=2,
+        )(x)
+
+    # ------------------------------------------------------------------
+    def sx(
+        self,
+        x: jax.Array,
+        offsets: np.ndarray,
+        distances: np.ndarray,
+        border: int,
+        height: float = 10.0,
+    ) -> jax.Array:
+        """Sharded Sx horizon scan (reference topo.py:928-953). Halo width is
+        the full ray length — the 'long-context' stressor of the spatial
+        decomposition (SURVEY.md §5) — exchanged multi-hop when rays span
+        multiple blocks. The zero border lives at *global* edges."""
+        self._check(x.shape)
+        h, w = x.shape
+        inv_dist = (1.0 / np.asarray(distances)).astype(np.float32)
+        pad = int(border)
+
+        def build():
+            offs = jnp.asarray(np.asarray(offsets) + pad, dtype=jnp.int32)
+            invs = jnp.asarray(inv_dist)
+            lh, lw = h // self.gy, w // self.gx
+
+            def local(block):
+                padded = exchange_halo(
+                    block, pad, pad, (self.gy, self.gx), fill="nan"
+                )
+                base = block + jnp.asarray(height, block.dtype)
+                neg_inf = _varying(jnp.full(block.shape, -jnp.inf, block.dtype))
+
+                def step(carry, inputs):
+                    start, inv = inputs
+                    shifted = jax.lax.dynamic_slice(
+                        padded, (start[0], start[1]), (lh, lw)
+                    )
+                    return jnp.fmax(carry, (shifted - base) * inv), None
+
+                max_ratio, _ = jax.lax.scan(step, neg_inf, (offs, invs))
+                sx_deg = jnp.degrees(jnp.arctan(max_ratio))
+                sx_deg = jnp.where(jnp.isneginf(max_ratio), jnp.nan, sx_deg)
+                giy = global_index(0, GY, lh, block.shape)
+                gix = global_index(1, GX, lw, block.shape)
+                interior = (
+                    (giy >= pad) & (giy < h - pad) & (gix >= pad) & (gix < w - pad)
+                )
+                return jnp.where(interior, sx_deg, 0.0).astype(block.dtype)
+
+            return local
+
+        key = (
+            "sx",
+            x.shape,
+            border,
+            height,
+            offsets.shape[0],
+            hash(offsets.tobytes()),
+            hash(inv_dist.tobytes()),
+        )
+        return self._wrap(key, build, 1)(x)
+
+
+def _slice_axis(x, axis, start, stop):
+    sl = [slice(None)] * x.ndim
+    sl[axis] = slice(start, stop)
+    return x[tuple(sl)]

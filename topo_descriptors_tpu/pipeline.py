@@ -1,0 +1,341 @@
+"""Batch drivers: the reference's ``compute_*`` API surface.
+
+Each driver mirrors its reference wrapper (topo.py:16,88,216,317,534,715):
+validate the DEM, convert scales to odd pixel counts, loop over scales,
+reassign the original NaNs, optionally crop, and write one NetCDF per
+descriptor with the reference's exact naming scheme. The numerical core runs
+as a jit-compiled TPU op (ops/) or, when a :class:`ShardedOps` is supplied,
+as a multi-device shard_map program.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional, Sequence, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from topo_descriptors_tpu import geo, ops
+from topo_descriptors_tpu.config import CFG
+from topo_descriptors_tpu.grid import Raster, check_dem
+from topo_descriptors_tpu.io.netcdf import to_netcdf
+from topo_descriptors_tpu.kernels.sx_geometry import sx_offsets
+from topo_descriptors_tpu.utils.timing import timer
+
+logger = logging.getLogger(__name__)
+
+
+def _as_list(value, length=None):
+    if not hasattr(value, "__iter__"):
+        value = [value] if length is None else [value] * length
+    return list(value)
+
+
+def _apply_nans(array: np.ndarray, ind_nans) -> np.ndarray:
+    # np.asarray of a jax.Array is a read-only view; copy before writing
+    array = np.array(array)
+    if ind_nans is not None and len(ind_nans) and len(ind_nans[0]):
+        array[ind_nans] = np.nan
+    return array
+
+
+def _compute_backend(dem_val, sharded):
+    """Return (array-like on device, to_host) pair for the chosen backend."""
+    if sharded is None:
+        return jnp.asarray(dem_val), np.asarray
+    return sharded.put(dem_val), np.asarray
+
+
+# --- naming (reference topo.py:83-85, 184-188, 310-314, 456-463, 647-655,
+#     956-960) ---------------------------------------------------------------
+
+
+def _dem_name(scale):
+    return f"DEM_{scale}M"
+
+
+def _smth_suffix(smth_factor):
+    return f"_SMTHFACT{smth_factor:.3g}" if smth_factor else ""
+
+
+def _tpi_name(scale, smth_factor):
+    return f"TPI_{scale}M{_smth_suffix(smth_factor)}"
+
+
+def _std_name(scale, smth_factor):
+    return f"STD_{scale}M{_smth_suffix(smth_factor)}"
+
+
+def _valley_ridge_names(scale, mode, smth_factor):
+    add = _smth_suffix(smth_factor)
+    return [f"{mode}_NORM_{scale}M{add}", f"{mode}_DIR_{scale}M{add}"]
+
+
+def _gradient_names(scale, sig_ratio):
+    return [
+        f"WE_DERIVATIVE_{scale}M_SIGRATIO{sig_ratio:.3g}",
+        f"SN_DERIVATIVE_{scale}M_SIGRATIO{sig_ratio:.3g}",
+        f"SLOPE_{scale}M_SIGRATIO{sig_ratio:.3g}",
+        f"ASPECT_{scale}M_SIGRATIO{sig_ratio:.3g}",
+    ]
+
+
+def _sx_name(radius, azimuth):
+    return f"SX_RADIUS{int(radius)}_AZIMUTH{int(azimuth)}"
+
+
+# --- drivers -----------------------------------------------------------------
+
+
+def compute_dem(
+    dem_ds: Raster,
+    scales,
+    ind_nans=None,
+    crop=None,
+    outdir=".",
+    sharded=None,
+):
+    """Smoothed DEM at each scale (reference compute_dem, topo.py:16-59)."""
+    check_dem(dem_ds)
+    logger.info(f"***Starting dem computation for scales {scales} meters***")
+    scales = _as_list(scales)
+    scales_pxl, _ = geo.scale_to_pixel(scales, dem_ds)
+    sigmas = scales_pxl / CFG.scale_std
+    dem_dev, to_host = _compute_backend(dem_ds.data, sharded)
+
+    written = []
+    for idx, sigma in enumerate(sigmas):
+        logger.info(f"Computing scale {scales[idx]} meters")
+        with timer(f"dem scale {scales[idx]}m"):
+            if sharded is None:
+                array = to_host(ops.dem(dem_dev, float(sigma)))
+            else:
+                array = to_host(sharded.gaussian(dem_dev, float(sigma)))
+        array = _apply_nans(array, ind_nans)
+        written.append(
+            to_netcdf(array, dem_ds, _dem_name(scales[idx]), crop, outdir, "m")
+        )
+    return written
+
+
+def compute_tpi(
+    dem_ds: Raster,
+    scales,
+    smth_factors=None,
+    ind_nans=None,
+    crop=None,
+    outdir=".",
+    sharded=None,
+):
+    """TPI at each scale (reference compute_tpi, topo.py:88-141)."""
+    check_dem(dem_ds)
+    logger.info(f"***Starting TPI computation for scales {scales} meters***")
+    scales = _as_list(scales)
+    smth_factors = _as_list(smth_factors, len(scales))
+    scales_pxl, _ = geo.scale_to_pixel(scales, dem_ds)
+    sigmas = geo.get_sigmas(smth_factors, scales_pxl)
+    dem_dev, to_host = _compute_backend(dem_ds.data, sharded)
+
+    written = []
+    for idx, scale_pxl in enumerate(scales_pxl):
+        logger.info(
+            f"Computing scale {scales[idx]} meters with smoothing factor"
+            f" {smth_factors[idx]} ..."
+        )
+        with timer(f"tpi scale {scales[idx]}m"):
+            if sharded is None:
+                array = to_host(ops.tpi(dem_dev, int(scale_pxl), sigmas[idx]))
+            else:
+                array = to_host(sharded.tpi(dem_dev, int(scale_pxl), sigmas[idx]))
+        array = _apply_nans(array, ind_nans)
+        name = _tpi_name(scales[idx], smth_factors[idx])
+        written.append(to_netcdf(array, dem_ds, name, crop, outdir, "m"))
+    return written
+
+
+def compute_std(
+    dem_ds: Raster,
+    scales,
+    smth_factors=None,
+    ind_nans=None,
+    crop=None,
+    outdir=".",
+    sharded=None,
+):
+    """Rolling STD at each scale (reference compute_std, topo.py:216-269)."""
+    check_dem(dem_ds)
+    logger.info(f"***Starting STD computation for scales {scales} meters***")
+    scales = _as_list(scales)
+    smth_factors = _as_list(smth_factors, len(scales))
+    scales_pxl, _ = geo.scale_to_pixel(scales, dem_ds)
+    sigmas = geo.get_sigmas(smth_factors, scales_pxl)
+    dem_dev, to_host = _compute_backend(dem_ds.data, sharded)
+
+    written = []
+    for idx, scale_pxl in enumerate(scales_pxl):
+        logger.info(
+            f"Computing scale {scales[idx]} meters with smoothing factor"
+            f" {smth_factors[idx]} ..."
+        )
+        with timer(f"std scale {scales[idx]}m"):
+            if sharded is None:
+                array = to_host(ops.std(dem_dev, int(scale_pxl), sigmas[idx]))
+            else:
+                array = to_host(sharded.std(dem_dev, int(scale_pxl), sigmas[idx]))
+        array = _apply_nans(array, ind_nans)
+        name = _std_name(scales[idx], smth_factors[idx])
+        written.append(to_netcdf(array, dem_ds, name, crop, outdir, "m"))
+    return written
+
+
+def compute_valley_ridge(
+    dem_ds: Raster,
+    scales,
+    mode: str,
+    flat_list=(0, 0.15, 0.3),
+    smth_factors=None,
+    ind_nans=None,
+    crop=None,
+    outdir=".",
+    sharded=None,
+):
+    """Valley/ridge index at each scale (reference compute_valley_ridge,
+    topo.py:317-386)."""
+    check_dem(dem_ds)
+    logger.info(f"***Starting {mode} index computation for scales {scales} meters***")
+    scales = _as_list(scales)
+    smth_factors = _as_list(smth_factors, len(scales))
+    scales_pxl, _ = geo.scale_to_pixel(scales, dem_ds)
+    sigmas = geo.get_sigmas(smth_factors, scales_pxl)
+    dem_dev, to_host = _compute_backend(dem_ds.data, sharded)
+
+    written = []
+    for idx, scale_pxl in enumerate(scales_pxl):
+        logger.info(
+            f"Computing scale {scales[idx]} meters with smoothing factor"
+            f" {smth_factors[idx]} ..."
+        )
+        with timer(f"{mode} scale {scales[idx]}m"):
+            if sharded is None:
+                arrays = ops.valley_ridge(
+                    dem_dev, int(scale_pxl), mode, list(flat_list), sigmas[idx]
+                )
+            else:
+                arrays = sharded.valley_ridge(
+                    dem_dev, int(scale_pxl), mode, list(flat_list), sigmas[idx]
+                )
+            arrays = [to_host(a) for a in arrays]
+        names = _valley_ridge_names(scales[idx], mode, smth_factors[idx])
+        for array, name in zip(arrays, names):
+            array = _apply_nans(array, ind_nans)
+            written.append(to_netcdf(array, dem_ds, name, crop, outdir, "1"))
+    return written
+
+
+def compute_gradient(
+    dem_ds: Raster,
+    scales,
+    sig_ratios=1,
+    ind_nans=None,
+    crop=None,
+    outdir=".",
+    sharded=None,
+):
+    """Gradients/slope/aspect at each scale (reference compute_gradient,
+    topo.py:534-594)."""
+    check_dem(dem_ds)
+    logger.info(f"***Starting gradients computation for scales {scales} meters***")
+    scales = _as_list(scales)
+    sig_ratios = _as_list(sig_ratios, len(scales))
+    scales_pxl, res_meters = geo.scale_to_pixel(scales, dem_ds)
+    sigmas = scales_pxl / CFG.scale_std
+    dem_dev, to_host = _compute_backend(dem_ds.data, sharded)
+    all_units = ["1", "1", "degree", "degree"]
+
+    written = []
+    for idx, sigma in enumerate(sigmas):
+        logger.info(
+            f"Computing scale {scales[idx]} meters with sigma ratio "
+            f"{sig_ratios[idx]} ..."
+        )
+        with timer(f"gradient scale {scales[idx]}m"):
+            if sharded is None:
+                arrays = ops.gradient(
+                    dem_dev, float(sigma), res_meters, sig_ratios[idx]
+                )
+            else:
+                arrays = sharded.gradient(
+                    dem_dev, float(sigma), res_meters, sig_ratios[idx]
+                )
+            arrays = [to_host(a) for a in arrays]
+        names = _gradient_names(scales[idx], sig_ratios[idx])
+        for array, name, units in zip(arrays, names, all_units):
+            array = _apply_nans(array, ind_nans)
+            written.append(to_netcdf(array, dem_ds, name, crop, outdir, units))
+    return written
+
+
+def sx(
+    dem_ds: Raster,
+    azimuth: float,
+    radius: float,
+    height: float = 10.0,
+    azimuth_arc: float = 10.0,
+    azimuth_steps: int = 15,
+    radius_min: float = 0.0,
+    sharded=None,
+):
+    """Sx horizon scan for one azimuth (reference sx, topo.py:776-858).
+
+    Takes the full Raster — the geometry needs the grid's metric resolution
+    (mean of the per-pixel x/y resolutions, reference topo.py:837-839).
+    """
+    if not isinstance(dem_ds, Raster):
+        raise TypeError("Argument 'dem_ds' must be a Raster.")
+    _, res_meters = geo.scale_to_pixel(radius, dem_ds)
+    dx = float(res_meters["x"].mean())
+    dy = float(res_meters["y"].mean())
+    offsets, distances, border = sx_offsets(
+        azimuth, radius, dx, dy, azimuth_arc, azimuth_steps, radius_min
+    )
+    with timer(f"sx az {azimuth} r {radius}m"):
+        if sharded is None:
+            return np.asarray(
+                ops.sx(jnp.asarray(dem_ds.data), offsets, distances, border, height)
+            )
+        return np.asarray(
+            sharded.sx(sharded.put(dem_ds.data), offsets, distances, border, height)
+        )
+
+
+def compute_sx(
+    dem_ds: Raster,
+    azimuth: float,
+    radius: float,
+    height: float = 10.0,
+    azimuth_arc: float = 10.0,
+    azimuth_steps: int = 15,
+    radius_min: float = 0.0,
+    crop=None,
+    outdir=".",
+    sharded=None,
+):
+    """Sx driver (reference compute_sx, topo.py:715-772)."""
+    check_dem(dem_ds)
+    logger.info(
+        f"***Starting Sx computation for azimuth {azimuth} and radius {radius}***"
+    )
+    array = sx(
+        dem_ds,
+        azimuth,
+        radius,
+        height=height,
+        azimuth_arc=azimuth_arc,
+        azimuth_steps=azimuth_steps,
+        radius_min=radius_min,
+        sharded=sharded,
+    )
+    return [
+        to_netcdf(array, dem_ds, _sx_name(radius, azimuth), crop, outdir, "degree")
+    ]
