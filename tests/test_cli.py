@@ -1,0 +1,57 @@
+"""CLI driver tests (CPU, synthetic DEM)."""
+
+import numpy as np
+
+from topo_descriptors_tpu.cli import main
+from topo_descriptors_tpu.io import read_raster
+
+
+def test_cli_synthetic_tpi_std(tmp_path):
+    rc = main(
+        [
+            "--synthetic", "48x64",
+            "--descriptors", "tpi", "std",
+            "--scales", "300", "600",
+            "--outdir", str(tmp_path),
+        ]
+    )
+    assert rc == 0
+    files = sorted(p.name for p in tmp_path.glob("topo_*.nc"))
+    assert files == [
+        "topo_STD_300M.nc",
+        "topo_STD_600M.nc",
+        "topo_TPI_300M.nc",
+        "topo_TPI_600M.nc",
+    ]
+
+
+def test_cli_skip_existing(tmp_path):
+    args = [
+        "--synthetic", "48x64",
+        "--descriptors", "tpi",
+        "--scales", "300",
+        "--outdir", str(tmp_path),
+        "--skip-existing",
+    ]
+    assert main(args) == 0
+    out = tmp_path / "topo_TPI_300M.nc"
+    first_mtime = out.stat().st_mtime_ns
+    assert main(args) == 0  # second run skips, file untouched
+    assert out.stat().st_mtime_ns == first_mtime
+
+
+def test_cli_sharded_runs(tmp_path):
+    rc = main(
+        [
+            "--synthetic", "64x64",
+            "--descriptors", "tpi", "sx",
+            "--scales", "300",
+            "--sx-azimuths", "0", "180",
+            "--sx-radius", "200",
+            "--outdir", str(tmp_path),
+            "--sharded", "--mesh", "2", "4",
+        ]
+    )
+    assert rc == 0
+    sx0 = read_raster(tmp_path / "topo_SX_RADIUS200_AZIMUTH0.nc")
+    assert np.isfinite(sx0.data).all()

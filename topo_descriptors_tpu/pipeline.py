@@ -11,6 +11,7 @@ as a multi-device shard_map program.
 from __future__ import annotations
 
 import logging
+from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Union
 
 import jax.numpy as jnp
@@ -38,6 +39,14 @@ def _apply_nans(array: np.ndarray, ind_nans) -> np.ndarray:
     if ind_nans is not None and len(ind_nans) and len(ind_nans[0]):
         array[ind_nans] = np.nan
     return array
+
+
+def _existing(name: str, outdir) -> Optional[Path]:
+    """Idempotent-restart support: per-(descriptor, scale) outputs are
+    independent files (reference topo.py:140), so a rerun can skip the ones
+    already on disk (SURVEY.md §5 checkpoint/resume)."""
+    path = Path(outdir) / f"topo_{str.upper(name)}.nc"
+    return path if path.exists() else None
 
 
 def _compute_backend(dem_val, sharded):
@@ -95,6 +104,7 @@ def compute_dem(
     crop=None,
     outdir=".",
     sharded=None,
+    skip_existing=False,
 ):
     """Smoothed DEM at each scale (reference compute_dem, topo.py:16-59)."""
     check_dem(dem_ds)
@@ -106,6 +116,11 @@ def compute_dem(
 
     written = []
     for idx, sigma in enumerate(sigmas):
+        name = _dem_name(scales[idx])
+        if skip_existing and (path := _existing(name, outdir)):
+            logger.info(f"skipping existing {path}")
+            written.append(path)
+            continue
         logger.info(f"Computing scale {scales[idx]} meters")
         with timer(f"dem scale {scales[idx]}m"):
             if sharded is None:
@@ -113,9 +128,7 @@ def compute_dem(
             else:
                 array = to_host(sharded.gaussian(dem_dev, float(sigma)))
         array = _apply_nans(array, ind_nans)
-        written.append(
-            to_netcdf(array, dem_ds, _dem_name(scales[idx]), crop, outdir, "m")
-        )
+        written.append(to_netcdf(array, dem_ds, name, crop, outdir, "m"))
     return written
 
 
@@ -127,6 +140,7 @@ def compute_tpi(
     crop=None,
     outdir=".",
     sharded=None,
+    skip_existing=False,
 ):
     """TPI at each scale (reference compute_tpi, topo.py:88-141)."""
     check_dem(dem_ds)
@@ -139,6 +153,11 @@ def compute_tpi(
 
     written = []
     for idx, scale_pxl in enumerate(scales_pxl):
+        name = _tpi_name(scales[idx], smth_factors[idx])
+        if skip_existing and (path := _existing(name, outdir)):
+            logger.info(f"skipping existing {path}")
+            written.append(path)
+            continue
         logger.info(
             f"Computing scale {scales[idx]} meters with smoothing factor"
             f" {smth_factors[idx]} ..."
@@ -149,7 +168,6 @@ def compute_tpi(
             else:
                 array = to_host(sharded.tpi(dem_dev, int(scale_pxl), sigmas[idx]))
         array = _apply_nans(array, ind_nans)
-        name = _tpi_name(scales[idx], smth_factors[idx])
         written.append(to_netcdf(array, dem_ds, name, crop, outdir, "m"))
     return written
 
@@ -162,6 +180,7 @@ def compute_std(
     crop=None,
     outdir=".",
     sharded=None,
+    skip_existing=False,
 ):
     """Rolling STD at each scale (reference compute_std, topo.py:216-269)."""
     check_dem(dem_ds)
@@ -174,6 +193,11 @@ def compute_std(
 
     written = []
     for idx, scale_pxl in enumerate(scales_pxl):
+        name = _std_name(scales[idx], smth_factors[idx])
+        if skip_existing and (path := _existing(name, outdir)):
+            logger.info(f"skipping existing {path}")
+            written.append(path)
+            continue
         logger.info(
             f"Computing scale {scales[idx]} meters with smoothing factor"
             f" {smth_factors[idx]} ..."
@@ -184,7 +208,6 @@ def compute_std(
             else:
                 array = to_host(sharded.std(dem_dev, int(scale_pxl), sigmas[idx]))
         array = _apply_nans(array, ind_nans)
-        name = _std_name(scales[idx], smth_factors[idx])
         written.append(to_netcdf(array, dem_ds, name, crop, outdir, "m"))
     return written
 
@@ -199,6 +222,7 @@ def compute_valley_ridge(
     crop=None,
     outdir=".",
     sharded=None,
+    skip_existing=False,
 ):
     """Valley/ridge index at each scale (reference compute_valley_ridge,
     topo.py:317-386)."""
@@ -212,6 +236,12 @@ def compute_valley_ridge(
 
     written = []
     for idx, scale_pxl in enumerate(scales_pxl):
+        names = _valley_ridge_names(scales[idx], mode, smth_factors[idx])
+        paths = [_existing(n, outdir) for n in names]
+        if skip_existing and all(paths):
+            logger.info(f"skipping existing {paths}")
+            written.extend(paths)
+            continue
         logger.info(
             f"Computing scale {scales[idx]} meters with smoothing factor"
             f" {smth_factors[idx]} ..."
@@ -226,7 +256,6 @@ def compute_valley_ridge(
                     dem_dev, int(scale_pxl), mode, list(flat_list), sigmas[idx]
                 )
             arrays = [to_host(a) for a in arrays]
-        names = _valley_ridge_names(scales[idx], mode, smth_factors[idx])
         for array, name in zip(arrays, names):
             array = _apply_nans(array, ind_nans)
             written.append(to_netcdf(array, dem_ds, name, crop, outdir, "1"))
@@ -241,6 +270,7 @@ def compute_gradient(
     crop=None,
     outdir=".",
     sharded=None,
+    skip_existing=False,
 ):
     """Gradients/slope/aspect at each scale (reference compute_gradient,
     topo.py:534-594)."""
@@ -255,6 +285,12 @@ def compute_gradient(
 
     written = []
     for idx, sigma in enumerate(sigmas):
+        names = _gradient_names(scales[idx], sig_ratios[idx])
+        paths = [_existing(n, outdir) for n in names]
+        if skip_existing and all(paths):
+            logger.info(f"skipping existing {paths}")
+            written.extend(paths)
+            continue
         logger.info(
             f"Computing scale {scales[idx]} meters with sigma ratio "
             f"{sig_ratios[idx]} ..."
@@ -269,7 +305,6 @@ def compute_gradient(
                     dem_dev, float(sigma), res_meters, sig_ratios[idx]
                 )
             arrays = [to_host(a) for a in arrays]
-        names = _gradient_names(scales[idx], sig_ratios[idx])
         for array, name, units in zip(arrays, names, all_units):
             array = _apply_nans(array, ind_nans)
             written.append(to_netcdf(array, dem_ds, name, crop, outdir, units))
@@ -320,9 +355,14 @@ def compute_sx(
     crop=None,
     outdir=".",
     sharded=None,
+    skip_existing=False,
 ):
     """Sx driver (reference compute_sx, topo.py:715-772)."""
     check_dem(dem_ds)
+    name = _sx_name(radius, azimuth)
+    if skip_existing and (path := _existing(name, outdir)):
+        logger.info(f"skipping existing {path}")
+        return [path]
     logger.info(
         f"***Starting Sx computation for azimuth {azimuth} and radius {radius}***"
     )
@@ -336,6 +376,4 @@ def compute_sx(
         radius_min=radius_min,
         sharded=sharded,
     )
-    return [
-        to_netcdf(array, dem_ds, _sx_name(radius, azimuth), crop, outdir, "degree")
-    ]
+    return [to_netcdf(array, dem_ds, name, crop, outdir, "degree")]
