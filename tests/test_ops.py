@@ -266,3 +266,20 @@ def test_sx_narrow_arc(dem_tiny):
         jax.jit(lambda x: ops.sx(x, offsets, distances, border, 10.0))(dem_tiny)
     )
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-3)
+
+
+def test_sx_even_window_distance_zero_quirk(dem_tiny):
+    # radius 250/res 30 -> float window 17.67 -> even 18-wide window: the
+    # reference's distance grid is centred one pixel off the ray convergence
+    # point, leaving a distance-0 ray pixel whose candidates are atan(z/0)
+    # = +/-90 deg. Parity must reproduce that behaviour (see ops.sx).
+    offsets, distances, border = kernels.sx_offsets(
+        azimuth=225.0, radius=250.0, dx=30.0, dy=30.0
+    )
+    assert (distances == 0).any()  # the quirk is present in this geometry
+    ref = _sx_oracle(dem_tiny, offsets, distances, border, height=10.0)
+    out = np.asarray(
+        jax.jit(lambda x: ops.sx(x, offsets, distances, border, 10.0))(dem_tiny)
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-3)
+    assert (np.abs(ref) == 90).any()  # the +/-90 candidates actually win somewhere

@@ -157,17 +157,29 @@ def main(argv=None) -> int:
                 **common,
             )
         elif name == "sx":
-            for azimuth in args.sx_azimuths:
-                written += pipeline.compute_sx(
+            if sharded is None and len(args.sx_azimuths) > 1:
+                # whole fan in one device program
+                written += pipeline.compute_sx_sweep(
                     dem_ds,
-                    azimuth,
+                    args.sx_azimuths,
                     args.sx_radius,
                     height=args.sx_height,
                     crop=crop,
                     outdir=args.outdir,
-                    sharded=sharded,
                     skip_existing=args.skip_existing,
                 )
+            else:
+                for azimuth in args.sx_azimuths:
+                    written += pipeline.compute_sx(
+                        dem_ds,
+                        azimuth,
+                        args.sx_radius,
+                        height=args.sx_height,
+                        crop=crop,
+                        outdir=args.outdir,
+                        sharded=sharded,
+                        skip_existing=args.skip_existing,
+                    )
     logger.info(f"wrote {len(written)} files to {args.outdir}")
     return 0
 

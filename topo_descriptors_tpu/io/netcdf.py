@@ -124,6 +124,7 @@ def to_netcdf(
     """
     name = str.upper(name)
     outdir = Path(outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
     out = Raster(
         data=np.asarray(array),
         grid=dem.grid,

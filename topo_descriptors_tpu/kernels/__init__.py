@@ -21,6 +21,7 @@ from topo_descriptors_tpu.kernels.sx_geometry import (
     sx_distance,
     sx_offsets,
     sx_source_idx_delta,
+    sx_sweep_offsets,
 )
 
 __all__ = [
@@ -36,4 +37,5 @@ __all__ = [
     "sx_source_idx_delta",
     "sx_bresenhamlines",
     "sx_offsets",
+    "sx_sweep_offsets",
 ]

@@ -128,3 +128,37 @@ def sx_offsets(
     border = int(window_distance.shape[0] / 2)
     offsets = (lines - border).astype(np.int32)
     return offsets, distances, border
+
+
+def sx_sweep_offsets(
+    azimuths,
+    radius: float,
+    dx: float,
+    dy: float,
+    azimuth_arc: float = 10.0,
+    azimuth_steps: int = 15,
+    radius_min: float = 0.0,
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Offset tables for a fan of azimuths, padded rectangular.
+
+    Per-azimuth ray counts differ slightly; rays are padded to the widest
+    azimuth with zero offsets and NaN distances — NaN ratios are ignored by
+    the device-side fmax exactly like radius_min exclusions, so padding is
+    free. The border is azimuth-independent (window size depends only on
+    radius and resolution, reference topo.py:861-869).
+
+    Returns (offsets (A, Kmax, 2) int32, distances (A, Kmax) float64, border).
+    """
+    per_az = [
+        sx_offsets(a, radius, dx, dy, azimuth_arc, azimuth_steps, radius_min)
+        for a in np.atleast_1d(azimuths)
+    ]
+    border = per_az[0][2]
+    kmax = max(o.shape[0] for o, _, _ in per_az)
+    offsets = np.zeros((len(per_az), kmax, 2), dtype=np.int32)
+    distances = np.full((len(per_az), kmax), np.nan)
+    for i, (offs, dists, b) in enumerate(per_az):
+        assert b == border
+        offsets[i, : offs.shape[0]] = offs
+        distances[i, : dists.shape[0]] = dists
+    return offsets, distances, border

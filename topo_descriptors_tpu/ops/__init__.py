@@ -19,7 +19,8 @@ from topo_descriptors_tpu.ops.tpi import tpi
 from topo_descriptors_tpu.ops.std import std
 from topo_descriptors_tpu.ops.gradient import gradient, sobel
 from topo_descriptors_tpu.ops.valley_ridge import valley_ridge
-from topo_descriptors_tpu.ops.sx import sx
+from topo_descriptors_tpu.ops.sx import sx, sx_sweep
+from topo_descriptors_tpu.ops.multiscale import disk_descriptors
 
 __all__ = [
     "conv2d_same",
@@ -35,4 +36,6 @@ __all__ = [
     "sobel",
     "valley_ridge",
     "sx",
+    "sx_sweep",
+    "disk_descriptors",
 ]

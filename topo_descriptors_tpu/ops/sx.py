@@ -33,10 +33,18 @@ def sx(
       ``np.nanmax``.
 
     Parameters come from :func:`topo_descriptors_tpu.kernels.sx_offsets`.
+
+    Quirk parity: for even window sizes the reference's distance window is
+    centred one pixel off the ray convergence point (floor(w_float/2) vs
+    floor(w_int/2), topo.py:869-871 vs 848), leaving a ray pixel at distance
+    0; its candidates are atan(z/0) = +/-90 deg (or skipped when z == 0).
+    The infinities here reproduce that: (z)*(1/0)=+/-inf -> +/-90, and
+    0*inf = NaN is dropped by fmax exactly like the reference's nanmax.
     """
     h, w = dem.shape
     offsets = np.asarray(offsets)
-    inv_dist = (1.0 / np.asarray(distances)).astype(np.float32)
+    with np.errstate(divide="ignore"):  # distance-0 quirk pixels, see above
+        inv_dist = (1.0 / np.asarray(distances)).astype(np.float32)
 
     pad = int(border)
     padded = jnp.pad(dem, pad, mode="constant", constant_values=np.nan)
@@ -66,3 +74,55 @@ def sx(
         (yy >= pad) & (yy < h - pad) & (xx >= pad) & (xx < w - pad)
     )
     return jnp.where(interior, sx_deg, 0.0).astype(dem.dtype)
+
+
+def sx_sweep(
+    dem: jax.Array,
+    offsets: np.ndarray,
+    distances: np.ndarray,
+    border: int,
+    height: float = 10.0,
+) -> jax.Array:
+    """Sx for a whole fan of azimuths in one device program -> (A, H, W).
+
+    The reference loops ``compute_sx`` per azimuth from the host, re-reading
+    the DEM each time (an azimuth sweep 0-350 deg is 36 independent runs).
+    Here all azimuths share one NaN-padded DEM resident on device and run as
+    a ``lax.map`` over a common ragged-to-rectangular offset table — rays
+    padded to the widest azimuth with NaN distances, which the fmax reduction
+    ignores by construction.
+
+    ``offsets`` is (A, Kmax, 2) int32, ``distances`` (A, Kmax) with NaN
+    padding; build both with
+    :func:`topo_descriptors_tpu.kernels.sx_geometry.sx_sweep_offsets`.
+    """
+    h, w = dem.shape
+    pad = int(border)
+    padded = jnp.pad(dem, pad, mode="constant", constant_values=np.nan)
+    base = dem + jnp.asarray(height, dtype=dem.dtype)
+    neg_inf = jnp.full((h, w), -jnp.inf, dtype=dem.dtype)
+
+    offs = jnp.asarray(np.asarray(offsets) + pad, dtype=jnp.int32)
+    with np.errstate(divide="ignore"):  # distance-0 quirk pixels, see sx()
+        invs = jnp.asarray(
+            (1.0 / np.asarray(distances)).astype(np.float32), dtype=dem.dtype
+        )
+
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    interior = (yy >= pad) & (yy < h - pad) & (xx >= pad) & (xx < w - pad)
+
+    def one_azimuth(args):
+        offs_a, invs_a = args
+
+        def step(carry, inputs):
+            start, inv = inputs
+            shifted = jax.lax.dynamic_slice(padded, (start[0], start[1]), (h, w))
+            return jnp.fmax(carry, (shifted - base) * inv), None
+
+        max_ratio, _ = jax.lax.scan(step, neg_inf, (offs_a, invs_a))
+        out = jnp.degrees(jnp.arctan(max_ratio))
+        out = jnp.where(jnp.isneginf(max_ratio), jnp.nan, out)
+        return jnp.where(interior, out, 0.0).astype(dem.dtype)
+
+    return jax.lax.map(one_azimuth, (offs, invs))

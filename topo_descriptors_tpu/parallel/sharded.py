@@ -352,7 +352,8 @@ class ShardedOps:
         multiple blocks. The zero border lives at *global* edges."""
         self._check(x.shape)
         h, w = x.shape
-        inv_dist = (1.0 / np.asarray(distances)).astype(np.float32)
+        with np.errstate(divide="ignore"):  # distance-0 quirk (ops.sx docstring)
+            inv_dist = (1.0 / np.asarray(distances)).astype(np.float32)
         pad = int(border)
 
         def build():

@@ -344,6 +344,52 @@ def sx(
         )
 
 
+def compute_sx_sweep(
+    dem_ds: Raster,
+    azimuths,
+    radius: float,
+    height: float = 10.0,
+    azimuth_arc: float = 10.0,
+    azimuth_steps: int = 15,
+    radius_min: float = 0.0,
+    crop=None,
+    outdir=".",
+    skip_existing=False,
+):
+    """Sx for a fan of azimuths in ONE device program.
+
+    Functionally equals looping compute_sx over azimuths (reference usage:
+    an 0-350 deg sweep is 36 separate runs), but the DEM stays device-
+    resident and the fan runs as a single jit — the batch path for the
+    azimuth-sweep benchmark config.
+    """
+    from topo_descriptors_tpu.kernels.sx_geometry import sx_sweep_offsets
+
+    check_dem(dem_ds)
+    azimuths = _as_list(azimuths)
+    names = [_sx_name(radius, a) for a in azimuths]
+    if skip_existing and all(_existing(n, outdir) for n in names):
+        return [_existing(n, outdir) for n in names]
+    logger.info(
+        f"***Starting Sx sweep for azimuths {azimuths} and radius {radius}***"
+    )
+    _, res_meters = geo.scale_to_pixel(radius, dem_ds)
+    dx = float(res_meters["x"].mean())
+    dy = float(res_meters["y"].mean())
+    offsets, distances, border = sx_sweep_offsets(
+        azimuths, radius, dx, dy, azimuth_arc, azimuth_steps, radius_min
+    )
+    with timer(f"sx sweep {len(azimuths)} azimuths r {radius}m"):
+        stack = np.asarray(
+            ops.sx_sweep(jnp.asarray(dem_ds.data), offsets, distances,
+                         border, height)
+        )
+    written = []
+    for array, name in zip(stack, names):
+        written.append(to_netcdf(array, dem_ds, name, crop, outdir, "degree"))
+    return written
+
+
 def compute_sx(
     dem_ds: Raster,
     azimuth: float,
