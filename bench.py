@@ -6,38 +6,55 @@ TPI-2000m and Sx-500m on an SRTM-30m Basodino-sized grid (~1440x900,
 
     {"metric": ..., "value": N, "unit": "Mpixel/s", "vs_baseline": N}
 
+Timing methodology: the TPU here sits behind an RPC relay whose per-call
+round-trip (~30-45 ms) dwarfs device compute, and ``block_until_ready``
+returns at dispatch, not completion. Throughput is therefore measured
+*amortized*: N pipelined calls with one hard sync (scalar reduction fetched
+to host) at the end — the steady-state rate a production pipeline achieves.
+This is conservative: it still charges per-call dispatch overhead to the op.
+
 ``value`` is the geometric mean of the two throughputs; ``vs_baseline``
 compares against the reference's derived CPU numbers (TPI ~1.3 Mpixel/s,
-Sx ~0.22 Mpixel/s; BASELINE.md). Per-op details go to stderr.
+Sx ~0.22 Mpixel/s; BASELINE.md). Per-op details and a production-scale
+(4096^2) Pallas-vs-XLA comparison go to stderr.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
-def _best_time(fn, *args, warmup=2, iters=10):
-    import jax
+
+def amortized_seconds(fn, arg, iters=30, warmup=3, repeats=3):
+    import jax.numpy as jnp
 
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    times = []
-    for _ in range(iters):
+        np.asarray(fn(arg))  # full sync warmup (also compiles)
+    rates = []
+    for _ in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+        results = [fn(arg) for _ in range(iters)]
+        float(jnp.sum(results[-1]))  # hard sync through the relay
+        rates.append((time.perf_counter() - t0) / iters)
+    return min(rates)
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    except Exception:
+        pass
+
     from topo_descriptors_tpu import ops
     from topo_descriptors_tpu.geo import round_up_to_odd
-    from topo_descriptors_tpu.io.synthetic import basodino_like_dem
+    from topo_descriptors_tpu.io.synthetic import basodino_like_dem, synthetic_dem
     from topo_descriptors_tpu.kernels.sx_geometry import sx_offsets
 
     dev = jax.devices()[0]
@@ -45,29 +62,50 @@ def main():
 
     raster = basodino_like_dem(projected=True)  # 900 x 1440 at 30 m
     dem = jnp.asarray(raster.data)
-    npix = dem.shape[0] * dem.shape[1]
-    mpix = npix / 1e6
+    mpix = dem.shape[0] * dem.shape[1] / 1e6
 
     # --- TPI at 2000 m (67 px disk) ---------------------------------------
     size = int(round_up_to_odd(2000 / 30.0))
-    tpi_fn = jax.jit(lambda x: ops.tpi(x, size))
-    t_tpi = _best_time(tpi_fn, dem)
+    t_tpi = amortized_seconds(jax.jit(lambda x: ops.tpi(x, size)), dem)
     tpi_rate = mpix / t_tpi
     print(
-        f"TPI-2000m (size {size}): {t_tpi*1e3:.2f} ms -> {tpi_rate:.1f} Mpixel/s",
+        f"TPI-2000m (size {size}): {t_tpi*1e3:.2f} ms/call -> "
+        f"{tpi_rate:.0f} Mpixel/s",
         file=sys.stderr,
     )
 
     # --- Sx at 500 m, azimuth 0 -------------------------------------------
     offsets, distances, border = sx_offsets(0.0, 500.0, 30.0, 30.0)
-    sx_fn = jax.jit(lambda x: ops.sx(x, offsets, distances, border))
-    t_sx = _best_time(sx_fn, dem)
+    t_sx = amortized_seconds(
+        jax.jit(lambda x: ops.sx(x, offsets, distances, border)), dem
+    )
     sx_rate = mpix / t_sx
     print(
-        f"Sx-500m ({offsets.shape[0]} ray px): {t_sx*1e3:.2f} ms -> "
-        f"{sx_rate:.1f} Mpixel/s",
+        f"Sx-500m ({offsets.shape[0]} ray px): {t_sx*1e3:.2f} ms/call -> "
+        f"{sx_rate:.0f} Mpixel/s",
         file=sys.stderr,
     )
+
+    # --- production scale: 4096^2, Pallas vs XLA (stderr only) ------------
+    try:
+        big = jnp.asarray(synthetic_dem(4096, 4096, seed=2))
+        big_mpix = 4096 * 4096 / 1e6
+        t_big_p = amortized_seconds(
+            jax.jit(lambda x: ops.sx(x, offsets, distances, border,
+                                     method="pallas")), big, iters=10
+        )
+        t_big_x = amortized_seconds(
+            jax.jit(lambda x: ops.sx(x, offsets, distances, border,
+                                     method="xla")), big, iters=10
+        )
+        print(
+            f"Sx-500m @4096^2: pallas {t_big_p*1e3:.1f} ms "
+            f"({big_mpix/t_big_p:.0f} Mpixel/s) vs xla {t_big_x*1e3:.1f} ms "
+            f"({big_mpix/t_big_x:.0f} Mpixel/s)",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # big-grid extras must never break the contract
+        print(f"4096^2 comparison skipped: {exc}", file=sys.stderr)
 
     value = float(np.sqrt(tpi_rate * sx_rate))
     baseline = float(np.sqrt(1.3 * 0.22))  # reference CPU numbers, BASELINE.md
