@@ -1,0 +1,96 @@
+"""Out-of-core banded execution vs single-pass ops (CPU).
+
+Band boundaries must be invisible: any tile size >= one halo produces the
+same result as the whole-array op, including the global boundary rows.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from topo_descriptors_tpu import kernels, ops
+from topo_descriptors_tpu.parallel.tiles import TiledRunner
+
+
+@pytest.fixture(scope="module")
+def runner():
+    return TiledRunner(tile_rows=16)
+
+
+def test_tiled_gaussian(dem_small, runner):
+    single = np.asarray(jax.jit(lambda x: ops.gaussian_filter(x, 3.0))(dem_small))
+    tiled = runner.gaussian(dem_small, 3.0)
+    np.testing.assert_allclose(tiled, single, rtol=1e-6, atol=1e-3)
+
+
+@pytest.mark.parametrize("size,sigma", [(9, None), (9, 1.5)])
+def test_tiled_tpi(dem_small, runner, size, sigma):
+    single = np.asarray(jax.jit(lambda x: ops.tpi(x, size, sigma))(dem_small))
+    tiled = runner.tpi(dem_small, size, sigma)
+    np.testing.assert_allclose(tiled, single, rtol=1e-5, atol=2e-2)
+
+
+def test_tiled_std(dem_small, runner):
+    single = np.asarray(jax.jit(lambda x: ops.std(x, 9))(dem_small))
+    tiled = runner.std(dem_small, 9)
+    np.testing.assert_allclose(tiled, single, rtol=1e-3, atol=5e-1)
+
+
+@pytest.mark.parametrize("sigma,ratio", [(0.5, 1.0), (2.25, 1.0), (2.0, 1.5)])
+def test_tiled_gradient(dem_small, runner, sigma, ratio):
+    ny, nx = dem_small.shape
+    res = {
+        "x": np.full(nx, 30.0, np.float32),
+        "y": np.full(ny, -30.0, np.float32),
+    }
+    single = jax.jit(lambda x: ops.gradient(x, sigma, res, ratio))(dem_small)
+    tiled = runner.gradient(dem_small, sigma, res, ratio)
+    for s, t in zip(single, tiled):
+        np.testing.assert_allclose(t, np.asarray(s), rtol=1e-3, atol=2e-2)
+
+
+def test_tiled_gradient_2d_resolution(dem_small, runner):
+    # geographic grids: 2-D resolution planes must band along with the DEM
+    ny, nx = dem_small.shape
+    rng = np.random.default_rng(3)
+    res = {
+        "x": (30.0 + rng.random((ny, nx))).astype(np.float32),
+        "y": (-30.0 - rng.random((ny, nx))).astype(np.float32),
+    }
+    single = jax.jit(lambda x: ops.gradient(x, 2.25, res, 1.0))(dem_small)
+    tiled = runner.gradient(dem_small, 2.25, res, 1.0)
+    for s, t in zip(single, tiled):
+        np.testing.assert_allclose(t, np.asarray(s), rtol=1e-3, atol=2e-2)
+
+
+@pytest.mark.parametrize("sigma", [None, 1.5])
+def test_tiled_valley_ridge(dem_tiny, runner, sigma):
+    single = jax.jit(
+        lambda x: ops.valley_ridge(x, 7, "valley", (0, 0.2), sigma)
+    )(dem_tiny)
+    tiled = runner.valley_ridge(dem_tiny, 7, "valley", (0, 0.2), sigma)
+    np.testing.assert_allclose(
+        tiled[0], np.asarray(single[0]), rtol=1e-3, atol=2e-3
+    )
+    assert (tiled[1] != np.asarray(single[1])).mean() < 0.02
+
+
+def test_tiled_sx(dem_small, runner):
+    offsets, distances, border = kernels.sx_offsets(45.0, 300.0, 30.0, 30.0)
+    single = np.asarray(
+        jax.jit(lambda x: ops.sx(x, offsets, distances, border))(dem_small)
+    )
+    tiled = runner.sx(dem_small, offsets, distances, border)
+    np.testing.assert_allclose(tiled, single, rtol=1e-5, atol=1e-4)
+
+
+def test_tiled_sx_band_smaller_than_halo(dem_small):
+    # tile_rows far below the ray border: windows still stitch exactly
+    offsets, distances, border = kernels.sx_offsets(0.0, 500.0, 30.0, 30.0)
+    assert border > 8
+    runner = TiledRunner(tile_rows=8)
+    single = np.asarray(
+        jax.jit(lambda x: ops.sx(x, offsets, distances, border))(dem_small)
+    )
+    tiled = runner.sx(dem_small, offsets, distances, border)
+    np.testing.assert_allclose(tiled, single, rtol=1e-5, atol=1e-4)

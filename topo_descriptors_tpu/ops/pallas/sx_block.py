@@ -76,6 +76,7 @@ def sx_pallas(
     border: int,
     height: float = 10.0,
     block: tuple = (256, 256),
+    zero_border: bool = True,
 ) -> jax.Array:
     """Drop-in replacement for :func:`ops.sx` backed by the Pallas kernel."""
     h, w = dem.shape
@@ -137,6 +138,8 @@ def sx_pallas(
     acc = out[:h, :w]
     sx_deg = jnp.degrees(jnp.arctan(acc))
     sx_deg = jnp.where(jnp.isneginf(acc), jnp.nan, sx_deg)
+    if not zero_border:
+        return sx_deg.astype(dem.dtype)
     yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     interior = (yy >= b) & (yy < h - b) & (xx >= b) & (xx < w - b)

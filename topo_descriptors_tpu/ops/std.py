@@ -23,6 +23,7 @@ def std(
     sigma: Optional[float] = None,
     count_plane: Optional[np.ndarray] = None,
     int32_parity: Optional[bool] = None,
+    center: Optional[float] = None,
 ) -> jax.Array:
     """One-pass rolling standard deviation within a disk of diameter ``size``.
 
@@ -56,7 +57,10 @@ def std(
         count_plane = edge_count_plane(dem.shape, kernel)
     counts = jnp.asarray(count_plane, dtype=dem.dtype)
 
-    c = jnp.round(jnp.mean(dem))
+    if center is None:
+        c = jnp.round(jnp.mean(dem))
+    else:
+        c = jnp.asarray(center, dtype=dem.dtype)
     t = jnp.trunc(dem) if int32_parity else dem
     t_c = t - c
     z_c = dem - c

@@ -22,6 +22,7 @@ def sx(
     border: int,
     height: float = 10.0,
     method: str = "auto",
+    zero_border: bool = True,
 ) -> jax.Array:
     """Maximum elevation angle along the azimuth fan's ray pixels.
 
@@ -64,7 +65,8 @@ def sx(
     if method == "pallas":
         from topo_descriptors_tpu.ops.pallas.sx_block import sx_pallas
 
-        return sx_pallas(dem, offsets, distances, border, height)
+        return sx_pallas(dem, offsets, distances, border, height,
+                         zero_border=zero_border)
     offsets = np.asarray(offsets)
     with np.errstate(divide="ignore"):  # distance-0 quirk pixels, see above
         inv_dist = (1.0 / np.asarray(distances)).astype(np.float32)
@@ -91,6 +93,8 @@ def sx(
     # ray pixel) -> reference np.nanmax yields NaN (topo.py:951)
     sx_deg = jnp.where(jnp.isneginf(max_ratio), jnp.nan, sx_deg)
 
+    if not zero_border:  # tiled path masks at the global frame instead
+        return sx_deg.astype(dem.dtype)
     yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     interior = (

@@ -17,6 +17,7 @@ def tpi(
     size: int,
     sigma: Optional[float] = None,
     count_plane: Optional[np.ndarray] = None,
+    center: Optional[float] = None,
 ) -> jax.Array:
     """Elevation difference of each pixel to the mean of its disk-shaped
     neighbourhood (centre tap excluded).
@@ -41,7 +42,10 @@ def tpi(
         count_plane = edge_count_plane(dem.shape, kernel)
     counts = jnp.asarray(count_plane, dtype=dem.dtype)
 
-    center = jnp.round(jnp.mean(dem))
+    if center is None:
+        center = jnp.round(jnp.mean(dem))
+    else:
+        center = jnp.asarray(center, dtype=dem.dtype)
     conv_centered = conv2d_same(dem - center, kernel)
     neighbourhood_sum = conv_centered + center * counts
     return dem - neighbourhood_sum / kernel_sum

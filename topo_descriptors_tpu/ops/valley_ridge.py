@@ -72,6 +72,7 @@ def valley_ridge(
     sigma: Optional[float] = None,
     bank: Optional[np.ndarray] = None,
     method: str = "auto",
+    stats: Optional[tuple] = None,
 ) -> List[jax.Array]:
     """Valley/ridge index norm and direction (0..179 deg, clockwise).
 
@@ -92,7 +93,10 @@ def valley_ridge(
     if sigma:
         dem = gaussian_filter(dem, sigma)
 
-    dem = (dem - jnp.mean(dem)) / jnp.std(dem)
+    if stats is None:
+        dem = (dem - jnp.mean(dem)) / jnp.std(dem)
+    else:
+        dem = (dem - stats[0]) / stats[1]  # out-of-core: global, precomputed
 
     if bank is None:
         bank = prepare_valley_bank(size, mode, flat_list)

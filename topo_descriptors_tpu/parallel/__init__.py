@@ -13,6 +13,7 @@ standardization, the centring constants) reduced with ``pmean``.
 from topo_descriptors_tpu.parallel.mesh import make_mesh, shard_raster
 from topo_descriptors_tpu.parallel.halo import exchange_halo, halo_pad_1d
 from topo_descriptors_tpu.parallel.sharded import ShardedOps
+from topo_descriptors_tpu.parallel.tiles import TiledRunner
 
 __all__ = [
     "make_mesh",
@@ -20,4 +21,5 @@ __all__ = [
     "exchange_halo",
     "halo_pad_1d",
     "ShardedOps",
+    "TiledRunner",
 ]
