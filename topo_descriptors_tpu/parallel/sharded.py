@@ -311,7 +311,7 @@ class ShardedOps:
                 def step(carry, inputs):
                     norm, direction = carry
                     kernels, angle = inputs
-                    convs = C.conv2d_valid_bank(padded, kernels)
+                    convs = C.conv2d_bank_rowchan(padded, kernels, padding="valid")
                     combined = jnp.max(_flat_axis_combine(convs), axis=0)
                     greater = combined > norm
                     return (
