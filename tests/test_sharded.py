@@ -113,3 +113,30 @@ def test_sharded_sx_small_radius(sops, dem64):
 def test_mesh_shape_validation(sops, dem64):
     with pytest.raises(ValueError):
         sops.put(np.zeros((63, 96), np.float32))
+
+
+def test_host_local_to_global(mesh, sops, dem64):
+    # single-process: all mesh devices are local; assemble the global array
+    # from per-device blocks and check it matches a plain device_put
+    from topo_descriptors_tpu.parallel import runtime
+
+    gy, gx = mesh.devices.shape
+    bh, bw = dem64.shape[0] // gy, dem64.shape[1] // gx
+    blocks = [
+        dem64[i * bh : (i + 1) * bh, j * bw : (j + 1) * bw]
+        for i in range(gy)
+        for j in range(gx)
+    ]
+    global_arr = runtime.host_local_to_global(mesh, blocks)
+    np.testing.assert_array_equal(np.asarray(global_arr), dem64)
+    # and it is directly consumable by the sharded ops
+    out = np.asarray(sops.tpi(global_arr, 7))
+    ref = np.asarray(sops.tpi(sops.put(dem64), 7))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_runtime_initialize_single_process():
+    from topo_descriptors_tpu.parallel import runtime
+
+    runtime.initialize()  # must be a safe no-op without a coordinator
+    runtime.initialize()  # idempotent
