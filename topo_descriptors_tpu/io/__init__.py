@@ -8,6 +8,7 @@ readable by netCDF4/xarray installations and vice versa.
 
 from topo_descriptors_tpu.io.netcdf import get_dem_netcdf, read_raster, to_netcdf, write_raster
 from topo_descriptors_tpu.io.synthetic import synthetic_dem, basodino_like_dem
+from topo_descriptors_tpu.io.geotiff import read_geotiff, write_geotiff
 
 __all__ = [
     "get_dem_netcdf",
@@ -16,4 +17,6 @@ __all__ = [
     "write_raster",
     "synthetic_dem",
     "basodino_like_dem",
+    "read_geotiff",
+    "write_geotiff",
 ]

@@ -100,9 +100,16 @@ def get_dem_netcdf(path_dem) -> Raster:
     """Load a DEM and mask low elevations.
 
     Reference semantics (helpers.py:17-31): cast float32, squeeze, and set
-    elevations <= CFG.min_elevation to NaN.
+    elevations <= CFG.min_elevation to NaN. GeoTIFF files (.tif/.tiff) are
+    dispatched to the built-in GeoTIFF reader.
     """
-    raster = read_raster(path_dem)
+    suffix = str(path_dem).lower()
+    if suffix.endswith((".tif", ".tiff")):
+        from topo_descriptors_tpu.io.geotiff import read_geotiff
+
+        raster = read_geotiff(path_dem)
+    else:
+        raster = read_raster(path_dem)
     data = raster.data.astype(np.float32)
     data = np.where(data > CFG.min_elevation, data, np.nan)
     return raster.with_data(data)
