@@ -55,3 +55,25 @@ def test_cli_sharded_runs(tmp_path):
     assert rc == 0
     sx0 = read_raster(tmp_path / "topo_SX_RADIUS200_AZIMUTH0.nc")
     assert np.isfinite(sx0.data).all()
+
+
+def test_cli_tiled_runs(tmp_path):
+    rc = main(
+        [
+            "--synthetic", "64x64",
+            "--descriptors", "tpi",
+            "--scales", "300",
+            "--outdir", str(tmp_path),
+            "--tiled", "16",
+        ]
+    )
+    assert rc == 0
+    assert (tmp_path / "topo_TPI_300M.nc").exists()
+
+
+def test_cli_sharded_and_tiled_conflict(tmp_path):
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["--synthetic", "32x32", "--sharded", "--tiled", "8",
+              "--outdir", str(tmp_path)])

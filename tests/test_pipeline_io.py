@@ -170,3 +170,39 @@ def test_terrain_suite_forward():
     }
     for name, arr in out.items():
         assert arr.shape == shape, name
+
+
+def test_pipeline_with_sharded_backend(tmp_path):
+    import jax
+
+    from topo_descriptors_tpu.parallel import ShardedOps, make_mesh
+    from topo_descriptors_tpu.io import read_raster
+
+    dem = basodino_like_dem(ny=64, nx=64, projected=True)
+    sops = ShardedOps(make_mesh(shape=(2, 4), devices=jax.devices()[:8]))
+    files = pipeline.compute_std(dem, [300], outdir=tmp_path, sharded=sops)
+    single = pipeline.compute_std(dem, [300], outdir=tmp_path / "s")
+    np.testing.assert_allclose(
+        read_raster(files[0]).data, read_raster(single[0]).data,
+        rtol=1e-3, atol=5e-2,
+    )
+    files = pipeline.compute_gradient(dem, [300], outdir=tmp_path, sharded=sops)
+    single = pipeline.compute_gradient(dem, [300], outdir=tmp_path / "s")
+    np.testing.assert_allclose(
+        read_raster(files[2]).data, read_raster(single[2]).data,
+        rtol=1e-3, atol=1e-2,
+    )
+
+
+def test_throughput_report():
+    from topo_descriptors_tpu.utils.timing import Timings, timer
+    from topo_descriptors_tpu.utils.profiling import Roofline, throughput_report
+
+    Timings.clear()
+    with timer("demo op"):
+        pass
+    report = throughput_report(pixels=1_000_000)
+    assert "demo op" in report and report["demo op"] > 0
+    rl = Roofline()
+    assert rl.sx_light_speed_ms(1_300_000, 240) > 0
+    assert rl.hbm_light_speed_ms(10**9) > 1.0

@@ -94,3 +94,22 @@ def test_tiled_sx_band_smaller_than_halo(dem_small):
     )
     tiled = runner.sx(dem_small, offsets, distances, border)
     np.testing.assert_allclose(tiled, single, rtol=1e-5, atol=1e-4)
+
+
+def test_pipeline_with_tiled_backend(tmp_path):
+    from topo_descriptors_tpu import pipeline
+    from topo_descriptors_tpu.io import basodino_like_dem, read_raster
+
+    dem = basodino_like_dem(ny=48, nx=64, projected=True)
+    tiled = TiledRunner(tile_rows=16)
+    files = pipeline.compute_tpi(dem, [300], outdir=tmp_path, sharded=tiled)
+    single = pipeline.compute_tpi(dem, [300], outdir=tmp_path / "s")
+    a = read_raster(files[0]).data
+    b = read_raster(single[0]).data
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=2e-2)
+    files = pipeline.compute_sx(dem, 0, 300, outdir=tmp_path, sharded=tiled)
+    single = pipeline.compute_sx(dem, 0, 300, outdir=tmp_path / "s")
+    np.testing.assert_allclose(
+        read_raster(files[0]).data, read_raster(single[0]).data,
+        rtol=1e-5, atol=1e-3,
+    )

@@ -76,6 +76,12 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="run over all visible devices on a 2-D spatial mesh",
     )
+    p.add_argument(
+        "--tiled",
+        type=int,
+        metavar="ROWS",
+        help="stream the DEM out-of-core in row bands of this height",
+    )
     p.add_argument("--mesh", nargs=2, type=int, default=None, metavar=("GY", "GX"))
     p.add_argument("-v", "--verbose", action="store_true")
     return p
@@ -115,6 +121,8 @@ def main(argv=None) -> int:
             crop["y"] = slice(*args.crop_y)
 
     sharded = None
+    if args.sharded and args.tiled:
+        raise SystemExit("--sharded and --tiled are mutually exclusive")
     if args.sharded:
         from topo_descriptors_tpu.parallel.mesh import make_mesh
         from topo_descriptors_tpu.parallel.sharded import ShardedOps
@@ -122,6 +130,10 @@ def main(argv=None) -> int:
         mesh = make_mesh(shape=tuple(args.mesh) if args.mesh else None)
         logger.info(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
         sharded = ShardedOps(mesh)
+    elif args.tiled:
+        from topo_descriptors_tpu.parallel.tiles import TiledRunner
+
+        sharded = TiledRunner(tile_rows=args.tiled)
 
     args.outdir.mkdir(parents=True, exist_ok=True)
     common = dict(

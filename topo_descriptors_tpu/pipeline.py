@@ -49,11 +49,19 @@ def _existing(name: str, outdir) -> Optional[Path]:
     return path if path.exists() else None
 
 
-def _compute_backend(dem_val, sharded):
-    """Return (array-like on device, to_host) pair for the chosen backend."""
-    if sharded is None:
+def _compute_backend(dem_val, backend):
+    """Return (array-like for the backend, to_host) pair.
+
+    ``backend`` may be None (single-chip jit), a
+    :class:`~topo_descriptors_tpu.parallel.sharded.ShardedOps` (multi-device
+    mesh), or a :class:`~topo_descriptors_tpu.parallel.tiles.TiledRunner`
+    (out-of-core banding) — the three share method signatures.
+    """
+    if backend is None:
         return jnp.asarray(dem_val), np.asarray
-    return sharded.put(dem_val), np.asarray
+    if hasattr(backend, "put"):  # ShardedOps: place blocks on the mesh
+        return backend.put(dem_val), np.asarray
+    return np.asarray(dem_val), np.asarray  # TiledRunner consumes host arrays
 
 
 # --- naming (reference topo.py:83-85, 184-188, 310-314, 456-463, 647-655,
@@ -339,8 +347,9 @@ def sx(
             return np.asarray(
                 ops.sx(jnp.asarray(dem_ds.data), offsets, distances, border, height)
             )
+        dem_dev, _ = _compute_backend(dem_ds.data, sharded)
         return np.asarray(
-            sharded.sx(sharded.put(dem_ds.data), offsets, distances, border, height)
+            sharded.sx(dem_dev, offsets, distances, border, height)
         )
 
 
