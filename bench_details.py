@@ -1,0 +1,141 @@
+"""Detailed benchmark across the BASELINE.json configs — run on real TPU.
+
+Covers every driver-set benchmark config (BASELINE.json "configs"):
+  1. TPI at 500 m on the Basodino tile (parity-checked vs scipy)
+  2. compute_gradient WE/SN/slope/aspect at 200 and 2000 m
+  3. std + TPI multi-scale batch (fused disk_descriptors path)
+  4. Sx azimuth sweep 0-350 deg at radii 200 / 2000 m
+  5. continental-scale grids (4k^2 / 8k^2) single-chip + Pallas
+
+Writes BENCH_DETAILS.md. Amortized hard-sync timing (see bench.py).
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+
+def amort(fn, arg, iters=20, warmup=2):
+    import jax.numpy as jnp
+
+    for _ in range(warmup):
+        np.asarray(jax.tree_util.tree_leaves(fn(arg))[0])
+    t0 = time.perf_counter()
+    results = [fn(arg) for _ in range(iters)]
+    float(jnp.sum(jax.tree_util.tree_leaves(results[-1])[0]))
+    return (time.perf_counter() - t0) / iters
+
+
+import jax  # noqa: E402
+
+
+def main():
+    global jax
+    import jax.numpy as jnp
+    from scipy import signal
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+
+    from topo_descriptors_tpu import kernels, ops
+    from topo_descriptors_tpu.geo import round_up_to_odd
+    from topo_descriptors_tpu.io.synthetic import basodino_like_dem, synthetic_dem
+    from topo_descriptors_tpu.kernels.sx_geometry import sx_offsets, sx_sweep_offsets
+
+    lines = [
+        "# Benchmark details (TPU v5e, amortized hard-sync timing)",
+        "",
+        f"Device: {jax.devices()[0]}",
+        "",
+        "| Config | Result |",
+        "|---|---|",
+    ]
+    raster = basodino_like_dem(projected=True)
+    dem_np = raster.data
+    dem = jnp.asarray(dem_np)
+    mpix = dem_np.size / 1e6
+
+    # 1. TPI-500m parity + perf
+    size = int(round_up_to_odd(500 / 30.0))
+    out = np.asarray(jax.jit(lambda x: ops.tpi(x, size))(dem))
+    k = kernels.circular_kernel(size, exclude_center=True)
+    ref = dem_np - signal.convolve(dem_np, k, "same") / k.sum()
+    err = float(np.abs(out - ref).max())
+    t = amort(jax.jit(lambda x: ops.tpi(x, size)), dem)
+    lines.append(
+        f"| TPI 500 m, Basodino tile | {t*1e3:.2f} ms ({mpix/t:.0f} Mpix/s), "
+        f"max err vs scipy {err:.2e} |"
+    )
+    print(lines[-1], flush=True)
+
+    # 2. gradient at 200 / 2000 m
+    res = {"x": np.full(1440, 30.0, np.float32), "y": np.full(900, -30.0, np.float32)}
+    for scale in (200, 2000):
+        sigma = float(round_up_to_odd(scale / 30.0) / 4.0)
+        t = amort(jax.jit(lambda x, s=sigma: ops.gradient(x, s, res, 1.0)), dem)
+        lines.append(
+            f"| gradient (4 outputs) {scale} m | {t*1e3:.2f} ms "
+            f"({mpix/t:.0f} Mpix/s) |"
+        )
+        print(lines[-1], flush=True)
+
+    # 3. std + TPI multi-scale batch (fused)
+    sizes = tuple(int(s) for s in round_up_to_odd(np.array([200, 500, 2000]) / 30.0))
+    t = amort(jax.jit(lambda x: ops.disk_descriptors(x, sizes)), dem)
+    per = t / (2 * len(sizes))
+    lines.append(
+        f"| fused TPI+STD batch, scales 200/500/2000 m | {t*1e3:.2f} ms total "
+        f"= {per*1e3:.2f} ms per descriptor-scale ({mpix/per:.0f} Mpix/s each) |"
+    )
+    print(lines[-1], flush=True)
+
+    # 4. Sx azimuth sweeps
+    azimuths = list(np.arange(0.0, 360.0, 10.0))
+    for radius in (200.0, 2000.0):
+        offsets, distances, border = sx_sweep_offsets(azimuths, radius, 30.0, 30.0)
+        t = amort(
+            jax.jit(lambda x, o=offsets, d=distances, b=border: ops.sx_sweep(x, o, d, b)),
+            dem, iters=5,
+        )
+        per = t / len(azimuths)
+        lines.append(
+            f"| Sx sweep 36 azimuths, r={radius:.0f} m ({offsets.shape[1]} ray px) | "
+            f"{t*1e3:.1f} ms total = {per*1e3:.2f} ms/azimuth "
+            f"({mpix/per:.0f} Mpix/s each) |"
+        )
+        print(lines[-1], flush=True)
+
+    # 5. continental scale
+    o5, d5, b5 = sx_offsets(0.0, 500.0, 30.0, 30.0)
+    for n in (4096, 8192):
+        big = jnp.asarray(synthetic_dem(n, n, seed=2))
+        bmp = n * n / 1e6
+        t_tpi = amort(jax.jit(lambda x: ops.tpi(x, 67)), big, iters=8)
+        t_sx = amort(
+            jax.jit(lambda x: ops.sx(x, o5, d5, b5, method="pallas")), big, iters=8
+        )
+        lines.append(
+            f"| {n}x{n} ({bmp:.0f} Mpix): TPI-2000m / Sx-500m (Pallas) | "
+            f"{t_tpi*1e3:.1f} ms ({bmp/t_tpi:.0f} Mpix/s) / "
+            f"{t_sx*1e3:.1f} ms ({bmp/t_sx:.0f} Mpix/s) |"
+        )
+        print(lines[-1], flush=True)
+
+    lines += [
+        "",
+        "Reference CPU baselines (BASELINE.md): TPI ~1.3 Mpix/s, "
+        "Sx ~0.22 Mpix/s, gradient/std <1 s per scale on the 1.3 Mpix tile.",
+        "",
+        "Multi-device: see bench_scaling.py (partition+halo overhead ~0 "
+        "on a virtual mesh; real-chip weak scaling needs pod hardware).",
+    ]
+    with open("BENCH_DETAILS.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote BENCH_DETAILS.md", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -283,3 +283,32 @@ def test_sx_even_window_distance_zero_quirk(dem_tiny):
     )
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-3)
     assert (np.abs(ref) == 90).any()  # the +/-90 candidates actually win somewhere
+
+
+def test_valley_ridge_fft_path_matches_direct(dem_tiny):
+    # large kernels switch to the in-scan FFT formulation; force it on a
+    # small bank and require agreement with the direct row-channel path
+    flat_list = [0, 0.2]
+    direct = jax.jit(
+        lambda x: ops.valley_ridge(x, 7, "valley", flat_list, method="direct")
+    )(dem_tiny)
+    fft = jax.jit(
+        lambda x: ops.valley_ridge(x, 7, "valley", flat_list, method="fft")
+    )(dem_tiny)
+    np.testing.assert_allclose(
+        np.asarray(fft[0]), np.asarray(direct[0]), rtol=1e-4, atol=2e-3
+    )
+    assert (np.asarray(fft[1]) != np.asarray(direct[1])).mean() < 0.02
+
+
+def test_conv2d_bank_rowchan_matches_batch(dem_tiny, rng):
+    from topo_descriptors_tpu.ops.conv import conv2d_bank_rowchan
+
+    kernels_ = rng.standard_normal((4, 6, 9)).astype(np.float32)
+    same = np.asarray(
+        jax.jit(lambda x: ops.conv2d_same_batch(x, kernels_, method="direct"))(dem_tiny)
+    )
+    rowchan = np.asarray(
+        jax.jit(lambda x: conv2d_bank_rowchan(x, kernels_, "same"))(dem_tiny)
+    )
+    np.testing.assert_allclose(rowchan, same, rtol=1e-5, atol=1e-2)

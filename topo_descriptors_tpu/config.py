@@ -33,8 +33,16 @@ class Config:
     # Compute dtype for descriptor math on device.
     compute_dtype: str = "float32"
     # Use FFT convolution when the kernel area exceeds this many taps
-    # (mirrors scipy.signal.convolve's method='auto' switch, but tuned for TPU).
-    fft_conv_min_taps: int = 64 * 64
+    # (mirrors scipy.signal.convolve's method='auto' switch, but tuned for
+    # TPU: spatial convs with C_in=1 map terribly onto the MXU, so the
+    # crossover to FFT sits far lower than scipy's).
+    fft_conv_min_taps: int = 1024
+    # Below this tap count, direct convs unroll into shifted fused
+    # multiply-adds on the VPU instead of conv_general_dilated.
+    shift_acc_max_taps: int = 1024
+    # 1-D correlations (separable Gaussian) switch from shifted FMAs to
+    # per-axis FFT above this tap count.
+    fft_correlate1d_min_taps: int = 160
     # Reproduce the reference's int32-truncation quirk in the rolling std
     # (reference topo.py:300). Set False for a cleaner float32 variance.
     std_int32_parity: bool = True

@@ -68,7 +68,7 @@ def conv2d_same(
         method = "fft" if kernel.size >= CFG.fft_conv_min_taps else "direct"
     if method == "fft":
         return _conv2d_same_fft(x, jnp.asarray(kernel, dtype=x.dtype))
-    return _conv2d_same_direct(x, jnp.asarray(kernel, dtype=x.dtype))
+    return _conv2d_same_direct(x, kernel)
 
 
 def _same_pads(k: int) -> Tuple[int, int]:
@@ -78,11 +78,44 @@ def _same_pads(k: int) -> Tuple[int, int]:
     return k - 1 - s, s
 
 
-def _conv2d_same_direct(x: Array, kernel: Array) -> Array:
+def _shift_acc_conv(xs: Array, kernel: np.ndarray, pads_y, pads_x) -> Array:
+    """Direct convolution as unrolled shifted fused multiply-adds.
+
+    A spatial conv with C_in=1 contracts 1-deep on the MXU (~1 GFLOP/s
+    measured on v5e); K shifted FMAs on the VPU run two to three orders of
+    magnitude faster for small kernels. Zero taps (disk corners) are
+    skipped. ``xs`` is (B, H, W); true convolution (kernel flipped).
+    """
+    kernel = np.asarray(kernel)
+    kh, kw = kernel.shape
+    flipped = kernel[::-1, ::-1]
+    (ly, hy), (lx, hx) = pads_y, pads_x
+    xp = jnp.pad(xs, ((0, 0), (ly, hy), (lx, hx)))
+    h_out = xs.shape[1] + ly + hy - kh + 1
+    w_out = xs.shape[2] + lx + hx - kw + 1
+    acc = None
+    for r in range(kh):
+        for c in range(kw):
+            wgt = float(flipped[r, c])
+            if wgt == 0.0:
+                continue
+            term = jax.lax.slice(
+                xp, (0, r, c), (xs.shape[0], r + h_out, c + w_out)
+            ) * jnp.asarray(wgt, dtype=xs.dtype)
+            acc = term if acc is None else acc + term
+    if acc is None:
+        acc = jnp.zeros((xs.shape[0], h_out, w_out), xs.dtype)
+    return acc
+
+
+def _conv2d_same_direct(x: Array, kernel: np.ndarray) -> Array:
+    kernel = np.asarray(kernel)  # host-side weights, never traced
     kh, kw = kernel.shape
     pads = (_same_pads(kh), _same_pads(kw))
+    if kh * kw <= CFG.shift_acc_max_taps:
+        return _shift_acc_conv(x[None], kernel, *pads)[0]
     # convolution = correlation with the flipped kernel
-    flipped = kernel[::-1, ::-1]
+    flipped = jnp.asarray(kernel, dtype=x.dtype)[::-1, ::-1]
     out = jax.lax.conv_general_dilated(
         x[None, None, :, :],
         flipped[None, None, :, :],
@@ -165,6 +198,8 @@ def conv2d_valid(xs: Array, kernel: np.ndarray, method: str = "auto") -> Array:
         return jax.lax.slice(
             full, (0, kh - 1, kw - 1), (b, h, w)
         ).astype(xs.dtype)
+    if kh * kw <= CFG.shift_acc_max_taps:
+        return _shift_acc_conv(xs, kernel, (0, 0), (0, 0))
     flipped = jnp.asarray(kernel, dtype=xs.dtype)[::-1, ::-1]
     out = jax.lax.conv_general_dilated(
         xs[:, None, :, :],
@@ -270,6 +305,8 @@ def conv2d_same_multi(xs: Array, kernel: np.ndarray, method: str = "auto") -> Ar
         sw = (kw - 1) // 2
         return jax.lax.slice(full, (0, sh, sw), (b, sh + h, sw + w)).astype(xs.dtype)
     pads = (_same_pads(kh), _same_pads(kw))
+    if kh * kw <= CFG.shift_acc_max_taps:
+        return _shift_acc_conv(xs, kernel, *pads)
     flipped = jnp.asarray(kernel, dtype=xs.dtype)[::-1, ::-1]
     out = jax.lax.conv_general_dilated(
         xs[:, None, :, :],
@@ -311,22 +348,36 @@ def reflect_pad_1d(x: Array, axis: int, lo: int, hi: int) -> Array:
     return x
 
 
-def _correlate1d_valid(x: Array, taps: Array, axis: int) -> Array:
-    """1-D correlation along ``axis`` with VALID padding via conv_general_dilated."""
-    if axis == 0:
-        kernel = taps[None, None, :, None]
-    else:
-        kernel = taps[None, None, None, :]
-    out = jax.lax.conv_general_dilated(
-        x[None, None, :, :],
-        kernel,
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=x.dtype,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return out[0, 0]
+def _correlate1d_valid(x: Array, taps: np.ndarray, axis: int) -> Array:
+    """1-D VALID correlation along ``axis`` with host-side (numpy) taps.
+
+    Small tap counts unroll into shifted FMAs (VPU); large ones (big
+    Gaussian sigmas) go through batched per-axis FFTs — both avoid
+    conv_general_dilated's C_in=1 MXU cliff.
+    """
+    taps_np = np.asarray(taps)
+    t = int(taps_np.shape[0])
+    n = x.shape[axis]
+    n_out = n - t + 1
+    if t > CFG.fft_correlate1d_min_taps:
+        fn = _fft_shape(n)
+        fx = jnp.fft.rfft(x, n=fn, axis=axis)
+        ft = jnp.fft.rfft(jnp.asarray(taps_np[::-1].copy(), dtype=x.dtype), n=fn)
+        shape = [1, 1]
+        shape[axis] = ft.shape[0]
+        full = jnp.fft.irfft(fx * ft.reshape(shape), n=fn, axis=axis)
+        start = [0, 0]
+        start[axis] = t - 1
+        limit = list(full.shape)
+        limit[axis] = t - 1 + n_out
+        return jax.lax.slice(full, start, limit).astype(x.dtype)
+    acc = None
+    for i in range(t):
+        sl = [slice(None), slice(None)]
+        sl[axis] = slice(i, i + n_out)
+        term = x[tuple(sl)] * jnp.asarray(float(taps_np[i]), dtype=x.dtype)
+        acc = term if acc is None else acc + term
+    return acc
 
 
 def gaussian_filter(
@@ -351,7 +402,7 @@ def gaussian_filter(
     for axis, s in enumerate(sigmas):
         if s <= 0:
             continue
-        taps = jnp.asarray(gaussian_kernel1d(s, truncate), dtype=x.dtype)
+        taps = gaussian_kernel1d(s, truncate).astype(np.float32)
         r = (taps.shape[0] - 1) // 2
         if pad:
             x = reflect_pad_1d(x, axis, r, r)
@@ -366,22 +417,12 @@ def convolve_reflect(x: Array, kernel: np.ndarray) -> Array:
     mode='reflect' and origin 0 (used by the Sobel path, reference
     topo.py:682-683). Odd kernel dims only.
     """
-    kernel = jnp.asarray(np.asarray(kernel), dtype=x.dtype)
+    kernel = np.asarray(kernel)
     kh, kw = kernel.shape
     rh, rw = kh // 2, kw // 2
     xp = reflect_pad_1d(x, 0, rh, rh)
     xp = reflect_pad_1d(xp, 1, rw, rw)
-    flipped = kernel[::-1, ::-1]
-    out = jax.lax.conv_general_dilated(
-        xp[None, None, :, :],
-        flipped[None, None, :, :],
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=x.dtype,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return out[0, 0]
+    return conv2d_valid(xp[None], kernel)[0]
 
 
 def gradient_axis(x: Array, axis: int, edge_order: str = "one_sided") -> Array:
@@ -413,6 +454,35 @@ def gradient_axis(x: Array, axis: int, edge_order: str = "one_sided") -> Array:
 
 
 # --- exact boundary count plane ---------------------------------------------
+
+
+def edge_count_plane_device(shape: Tuple[int, int], kernel: np.ndarray) -> Array:
+    """Device-side :func:`edge_count_plane`: assembled inside the jit from the
+    kernel's tiny integral image instead of baked as an (H, W) constant —
+    a 268 MB constant at 8192^2 overflows compile RPC payloads and bloats
+    every executable, while the integral table is a few KB."""
+    h, w = shape
+    kernel = np.asarray(kernel, dtype=np.float64)
+    kh, kw = kernel.shape
+    sh, sw = (kh - 1) // 2, (kw - 1) // 2
+    integral = np.zeros((kh + 1, kw + 1), dtype=np.float32)
+    integral[1:, 1:] = kernel.cumsum(0).cumsum(1)
+    table = jnp.asarray(integral)
+
+    y = jnp.arange(h)
+    x = jnp.arange(w)
+    m0 = jnp.clip(y + sh - (h - 1), 0, kh)
+    m1 = jnp.clip(y + sh + 1, 0, kh)
+    n0 = jnp.clip(x + sw - (w - 1), 0, kw)
+    n1 = jnp.clip(x + sw + 1, 0, kw)
+    rows_hi = jnp.take(table, m1, axis=0)  # (H, kw+1)
+    rows_lo = jnp.take(table, m0, axis=0)
+    return (
+        jnp.take(rows_hi, n1, axis=1)
+        - jnp.take(rows_lo, n1, axis=1)
+        - jnp.take(rows_hi, n0, axis=1)
+        + jnp.take(rows_lo, n0, axis=1)
+    )
 
 
 def edge_count_plane(shape: Tuple[int, int], kernel: np.ndarray) -> np.ndarray:

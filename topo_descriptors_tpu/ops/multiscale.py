@@ -27,7 +27,11 @@ import numpy as np
 
 from topo_descriptors_tpu.config import CFG
 from topo_descriptors_tpu.kernels.disk import circular_kernel
-from topo_descriptors_tpu.ops.conv import _fft_shape, edge_count_plane, gaussian_filter
+from topo_descriptors_tpu.ops.conv import (
+    _fft_shape,
+    edge_count_plane_device,
+    gaussian_filter,
+)
 
 
 def disk_descriptors(
@@ -68,20 +72,21 @@ def disk_descriptors(
 
     # kernel bank: all disks zero-padded into one (S, fh, fw) transform batch
     kernels = np.zeros((len(sizes), fh, fw), dtype=np.float32)
-    counts = np.zeros((len(sizes), h, w), dtype=np.float32)
+    counts = []
     ksums = np.zeros(len(sizes), dtype=np.float32)
     for i, size in enumerate(sizes):
         disk = circular_kernel(size)
         kernels[i, :size, :size] = disk
-        counts[i] = edge_count_plane((h, w), disk)
+        counts.append(edge_count_plane_device((h, w), disk))
         ksums[i] = disk.sum()
+    counts = jnp.stack(counts)
     f_kernels = jnp.fft.rfft2(jnp.asarray(kernels), axes=(-2, -1))
 
     # batched product: (S, F, fh, fw/2+1) -> inverse -> per-scale same-crop
     prod = f_kernels[:, None] * f_fields[None]
     full = jnp.fft.irfft2(prod, s=(fh, fw))
 
-    counts_j = jnp.asarray(counts, dtype=dem.dtype)
+    counts_j = counts.astype(dem.dtype)
     ksums_j = jnp.asarray(ksums, dtype=dem.dtype)
 
     out_tpi = []

@@ -12,7 +12,7 @@ from topo_descriptors_tpu.config import CFG
 from topo_descriptors_tpu.kernels.disk import circular_kernel
 from topo_descriptors_tpu.ops.conv import (
     conv2d_same_multi,
-    edge_count_plane,
+    edge_count_plane_device,
     gaussian_filter,
 )
 
@@ -54,8 +54,9 @@ def std(
         dem = gaussian_filter(dem, sigma)
 
     if count_plane is None:
-        count_plane = edge_count_plane(dem.shape, kernel)
-    counts = jnp.asarray(count_plane, dtype=dem.dtype)
+        counts = edge_count_plane_device(dem.shape, kernel).astype(dem.dtype)
+    else:
+        counts = jnp.asarray(count_plane, dtype=dem.dtype)
 
     if center is None:
         c = jnp.round(jnp.mean(dem))

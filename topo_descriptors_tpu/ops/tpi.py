@@ -9,7 +9,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from topo_descriptors_tpu.kernels.disk import circular_kernel
-from topo_descriptors_tpu.ops.conv import conv2d_same, edge_count_plane, gaussian_filter
+from topo_descriptors_tpu.ops.conv import (
+    conv2d_same,
+    edge_count_plane_device,
+    gaussian_filter,
+)
 
 
 def tpi(
@@ -39,8 +43,9 @@ def tpi(
         dem = gaussian_filter(dem, sigma)
 
     if count_plane is None:
-        count_plane = edge_count_plane(dem.shape, kernel)
-    counts = jnp.asarray(count_plane, dtype=dem.dtype)
+        counts = edge_count_plane_device(dem.shape, kernel).astype(dem.dtype)
+    else:
+        counts = jnp.asarray(count_plane, dtype=dem.dtype)
 
     if center is None:
         center = jnp.round(jnp.mean(dem))

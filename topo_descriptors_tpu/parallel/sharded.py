@@ -111,7 +111,7 @@ class ShardedOps:
         for axis, s in enumerate(sigmas):
             if not s or s <= 0:
                 continue
-            taps = jnp.asarray(gaussian_kernel1d(s, truncate), dtype=block.dtype)
+            taps = gaussian_kernel1d(s, truncate).astype(np.float32)
             r = gaussian_radius(s, truncate)
             block = halo_pad_1d(block, axis, (r, r), names[axis], mesh_sizes[axis],
                                 fill="reflect")

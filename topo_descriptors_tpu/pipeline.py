@@ -57,11 +57,12 @@ def _compute_backend(dem_val, backend):
     mesh), or a :class:`~topo_descriptors_tpu.parallel.tiles.TiledRunner`
     (out-of-core banding) — the three share method signatures.
     """
+    dem_val = np.asarray(dem_val, dtype=CFG.compute_dtype)
     if backend is None:
         return jnp.asarray(dem_val), np.asarray
     if hasattr(backend, "put"):  # ShardedOps: place blocks on the mesh
         return backend.put(dem_val), np.asarray
-    return np.asarray(dem_val), np.asarray  # TiledRunner consumes host arrays
+    return dem_val, np.asarray  # TiledRunner consumes host arrays
 
 
 # --- naming (reference topo.py:83-85, 184-188, 310-314, 456-463, 647-655,
