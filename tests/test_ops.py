@@ -312,3 +312,53 @@ def test_conv2d_bank_rowchan_matches_batch(dem_tiny, rng):
         jax.jit(lambda x: conv2d_bank_rowchan(x, kernels_, "same"))(dem_tiny)
     )
     np.testing.assert_allclose(rowchan, same, rtol=1e-5, atol=1e-2)
+
+
+@pytest.mark.parametrize("size,excl", [(5, False), (9, True), (21, False), (67, True)])
+def test_conv2d_same_sat_matches_scipy(dem_small, size, excl):
+    # the prefix-sum (summed-area) path for {0,1} disk kernels is exact
+    # modulo float32 rounding; require scipy float64 agreement
+    k = kernels.circular_kernel(size, exclude_center=excl)
+    ref = signal.convolve(np.asarray(dem_small, np.float64), k, mode="same")
+    out = np.asarray(
+        jax.jit(lambda x: ops.conv2d_same(x, k, method="sat"))(dem_small)
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=2e-2)
+
+
+def test_conv2d_sat_rejects_weighted_kernels(dem_tiny):
+    from topo_descriptors_tpu.ops.conv import conv2d_same_multi, conv2d_valid
+
+    k = kernels.gaussian_kernel1d(1.0)[:, None] * kernels.gaussian_kernel1d(1.0)
+    with pytest.raises(ValueError):
+        ops.conv2d_same(dem_tiny, k, method="sat")
+    with pytest.raises(ValueError):
+        conv2d_same_multi(dem_tiny[None], k, method="sat")
+    with pytest.raises(ValueError):
+        conv2d_valid(dem_tiny[None], k, method="sat")
+
+
+def test_conv2d_valid_sat_matches_scipy(dem_small):
+    from topo_descriptors_tpu.ops.conv import conv2d_valid
+
+    k = kernels.circular_kernel(9)
+    ref = signal.convolve(np.asarray(dem_small, np.float64), k, mode="valid")
+    out = np.asarray(
+        jax.jit(lambda x: conv2d_valid(x, k, method="sat"))(dem_small[None])
+    )[0]
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=2e-2)
+
+
+def test_conv2d_same_multi_sat_matches_scipy(dem_small):
+    from topo_descriptors_tpu.ops.conv import conv2d_same_multi
+
+    k = kernels.circular_kernel(17)
+    stack = jnp.stack([dem_small, dem_small - 1500.0])
+    out = np.asarray(
+        jax.jit(lambda x: conv2d_same_multi(x, k, method="sat"))(stack)
+    )
+    for i in range(2):
+        ref = signal.convolve(np.asarray(stack[i], np.float64), k, mode="same")
+        # the raw-elevation field (sums ~3e5) sees plain float32 prefix
+        # rounding; the descriptor ops always pass mean-centred fields
+        np.testing.assert_allclose(out[i], ref, rtol=1e-4, atol=5e-2)

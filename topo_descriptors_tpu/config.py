@@ -43,6 +43,11 @@ class Config:
     # 1-D correlations (separable Gaussian) switch from shifted FMAs to
     # per-axis FFT above this tap count.
     fft_correlate1d_min_taps: int = 160
+    # {0,1}-valued kernels (disk stencils) of at least this many taps route
+    # through the prefix-sum (summed-area) path: ~size row adds + 2 x
+    # (distinct run widths) slice adds per pixel, exact and far below both
+    # the direct conv's O(size^2) FMAs and the FFT's transpose traffic.
+    sat_conv_min_taps: int = 128
     # Reproduce the reference's int32-truncation quirk in the rolling std
     # (reference topo.py:300). Set False for a cleaner float32 variance.
     std_int32_parity: bool = True

@@ -64,6 +64,15 @@ def conv2d_same(
     have them).
     """
     kernel = np.asarray(kernel)
+    if method in ("auto", "sat"):
+        runs = _binary_kernel_runs(kernel[::-1, ::-1])
+        if method == "sat" and runs is None:
+            raise ValueError("method='sat' requires a {0,1}-valued kernel")
+        if runs is not None and (
+            method == "sat" or kernel.size >= CFG.sat_conv_min_taps
+        ):
+            pads = (_same_pads(kernel.shape[0]), _same_pads(kernel.shape[1]))
+            return _conv2d_sat(x[None], kernel.shape, runs, pads)[0]
     if method == "auto":
         method = "fft" if kernel.size >= CFG.fft_conv_min_taps else "direct"
     if method == "fft":
@@ -76,6 +85,66 @@ def _same_pads(k: int) -> Tuple[int, int]:
     s=(k-1)//2 of the full convolution, i.e. pad lo = k-1-s, hi = s."""
     s = (k - 1) // 2
     return k - 1 - s, s
+
+
+def _binary_kernel_runs(kernel: np.ndarray):
+    """Decompose a {0,1}-valued kernel into per-row runs of ones.
+
+    Returns ``[(row, first_col, last_col), ...]`` (inclusive bounds) or None
+    if the kernel has non-binary weights. Disk kernels (reference
+    topo.py:191-213) decompose into one run per row — two for the
+    centre-zeroed TPI row — which is what makes the prefix-sum convolution
+    below exact and cheap.
+    """
+    k = np.asarray(kernel)
+    if not np.isin(k, (0.0, 1.0)).all():
+        return None
+    runs = []
+    for r in range(k.shape[0]):
+        row = (k[r] != 0).astype(np.int8)
+        edges = np.flatnonzero(np.diff(np.concatenate(([0], row, [0]))))
+        for s, e in zip(edges[::2], edges[1::2]):
+            runs.append((r, int(s), int(e - 1)))
+    return runs
+
+
+def _conv2d_sat(xs: Array, kshape, runs, pads) -> Array:
+    """Correlation of (B, H, W) with a {0,1} kernel given as row-runs, via a
+    row prefix sum (summed-area rows).
+
+    Every run ``[a, b]`` of ones in kernel row ``r`` contributes
+    ``P[y+r, x+b+1] - P[y+r, x+a]`` with ``P`` the cumulative sum along x of
+    the zero-padded input (one sentinel zero column on the left). Rows that
+    share the same ``(a, b)`` are summed *before* the two column slices, so a
+    ``size``-diameter disk costs ~``size`` row adds + 2 x (distinct widths)
+    slice adds per pixel — versus ``size^2/4·pi`` multiply-adds for a direct
+    conv or two full FFTs. The caller flips the kernel first (true
+    convolution) and supplies the 'same'/'valid' paddings.
+    """
+    kh, kw = kshape
+    (ly, hy), (lx, hx) = pads
+    b, h, w = xs.shape
+    h_out = h + ly + hy - kh + 1
+    w_out = w + lx + hx - kw + 1
+    # sentinel zero column on the left so P[..., x+a] with a=0 reads 0
+    xp = jnp.pad(xs, ((0, 0), (ly, hy), (lx + 1, hx)))
+    p = jnp.cumsum(xp, axis=2)
+    by_cols: dict = {}
+    for r, a, bcol in runs:
+        by_cols.setdefault((a, bcol), []).append(r)
+    acc = None
+    for (a, bcol), rows in by_cols.items():
+        rs = None
+        for r in rows:
+            sl = jax.lax.slice(p, (0, r, 0), (b, r + h_out, p.shape[2]))
+            rs = sl if rs is None else rs + sl
+        term = jax.lax.slice(
+            rs, (0, 0, bcol + 1), (b, h_out, bcol + 1 + w_out)
+        ) - jax.lax.slice(rs, (0, 0, a), (b, h_out, a + w_out))
+        acc = term if acc is None else acc + term
+    if acc is None:
+        acc = jnp.zeros((b, h_out, w_out), xs.dtype)
+    return acc
 
 
 def _shift_acc_conv(xs: Array, kernel: np.ndarray, pads_y, pads_x) -> Array:
@@ -186,6 +255,14 @@ def conv2d_valid(xs: Array, kernel: np.ndarray, method: str = "auto") -> Array:
     """
     kernel = np.asarray(kernel)
     kh, kw = kernel.shape
+    if method in ("auto", "sat"):
+        runs = _binary_kernel_runs(kernel[::-1, ::-1])
+        if method == "sat" and runs is None:
+            raise ValueError("method='sat' requires a {0,1}-valued kernel")
+        if runs is not None and (
+            method == "sat" or kernel.size >= CFG.sat_conv_min_taps
+        ):
+            return _conv2d_sat(xs, kernel.shape, runs, ((0, 0), (0, 0)))
     if method == "auto":
         method = "fft" if kernel.size >= CFG.fft_conv_min_taps else "direct"
     b, h, w = xs.shape
@@ -292,6 +369,15 @@ def conv2d_same_multi(xs: Array, kernel: np.ndarray, method: str = "auto") -> Ar
     """
     kernel = np.asarray(kernel)
     kh, kw = kernel.shape
+    if method in ("auto", "sat"):
+        runs = _binary_kernel_runs(kernel[::-1, ::-1])
+        if method == "sat" and runs is None:
+            raise ValueError("method='sat' requires a {0,1}-valued kernel")
+        if runs is not None and (
+            method == "sat" or kernel.size >= CFG.sat_conv_min_taps
+        ):
+            pads = (_same_pads(kh), _same_pads(kw))
+            return _conv2d_sat(xs, kernel.shape, runs, pads)
     if method == "auto":
         method = "fft" if kernel.size >= CFG.fft_conv_min_taps else "direct"
     if method == "fft":
