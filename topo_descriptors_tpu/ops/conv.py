@@ -108,6 +108,14 @@ def _binary_kernel_runs(kernel: np.ndarray):
     return runs
 
 
+def _on_tpu() -> bool:
+    try:
+        dev = jax.devices()[0]
+        return dev.platform in ("tpu", "axon") or "tpu" in str(dev).lower()
+    except RuntimeError:
+        return False
+
+
 def _conv2d_sat(xs: Array, kshape, runs, pads) -> Array:
     """Correlation of (B, H, W) with a {0,1} kernel given as row-runs, via a
     row prefix sum (summed-area rows).
@@ -126,6 +134,16 @@ def _conv2d_sat(xs: Array, kshape, runs, pads) -> Array:
     b, h, w = xs.shape
     h_out = h + ly + hy - kh + 1
     w_out = w + lx + hx - kw + 1
+    # on TPU, the block-resident Pallas form of the same algorithm reads the
+    # field once instead of ~size times; route there while the halo window
+    # fits comfortably in VMEM
+    window_bytes = (256 + kh - 1 + 8) * (512 + kw + 128) * 4
+    if _on_tpu() and window_bytes <= 6 * 1024 * 1024:
+        from topo_descriptors_tpu.ops.pallas.disk_sat import (
+            disk_conv_sat_pallas,
+        )
+
+        return disk_conv_sat_pallas(xs, kshape, runs, pads)
     # sentinel zero column on the left so P[..., x+a] with a=0 reads 0
     xp = jnp.pad(xs, ((0, 0), (ly, hy), (lx + 1, hx)))
     p = jnp.cumsum(xp, axis=2)
@@ -542,11 +560,58 @@ def gradient_axis(x: Array, axis: int, edge_order: str = "one_sided") -> Array:
 # --- exact boundary count plane ---------------------------------------------
 
 
+def _edge_count_plane_rank1(
+    shape: Tuple[int, int], kernel: np.ndarray, runs
+) -> Array:
+    """``conv2d_same(ones(shape), kernel)`` for {0,1} kernels, gather-free.
+
+    Each group of kernel rows sharing a run ``[a, b]`` contributes a rank-1
+    term: (number of in-bounds source rows at output row y) x (in-bounds
+    length of the column segment at output x). Both factors are 1-D clip
+    expressions on iotas, so the plane assembles as ~`distinct widths`
+    broadcast FMAs that XLA fuses into the consumer — no (H, W) gather
+    (jnp.take's gather costs ~3.7 ms at 4096^2 on v5e; this form is free).
+    """
+    h, w = shape
+    kh, kw = np.asarray(kernel).shape
+    sy, sx_ = (kh - 1) // 2, (kw - 1) // 2
+    ly, lx = kh - 1 - sy, kw - 1 - sx_
+
+    y = jnp.arange(h, dtype=jnp.float32)
+    x = jnp.arange(w, dtype=jnp.float32)
+    by_cols: dict = {}
+    for r, a, bcol in runs:
+        by_cols.setdefault((a, bcol), []).append(r)
+    acc = None
+    for (a, bcol), rows in by_cols.items():
+        rvec = None
+        for r in rows:
+            # source rows live at padded rows [ly, ly+h); run row = y + r
+            ind = ((y + r >= ly) & (y + r < ly + h)).astype(jnp.float32)
+            rvec = ind if rvec is None else rvec + ind
+        # run cols x+a..x+bcol (padded, sentinel-shifted: +1); sources at
+        # padded cols [lx+1, lx+1+w)
+        hi = jnp.minimum(x + bcol + 1, float(lx + w))
+        lo = jnp.maximum(x + a + 1, float(lx + 1))
+        cvec = jnp.maximum(hi - lo + 1.0, 0.0)
+        term = rvec[:, None] * cvec[None, :]
+        acc = term if acc is None else acc + term
+    if acc is None:
+        acc = jnp.zeros((h, w), jnp.float32)
+    return acc
+
+
 def edge_count_plane_device(shape: Tuple[int, int], kernel: np.ndarray) -> Array:
     """Device-side :func:`edge_count_plane`: assembled inside the jit from the
     kernel's tiny integral image instead of baked as an (H, W) constant —
     a 268 MB constant at 8192^2 overflows compile RPC payloads and bloats
-    every executable, while the integral table is a few KB."""
+    every executable, while the integral table is a few KB.
+
+    {0,1} kernels (disks) skip the integral-image gather entirely and use
+    the rank-1 run decomposition."""
+    runs = _binary_kernel_runs(np.asarray(kernel)[::-1, ::-1])
+    if runs is not None:
+        return _edge_count_plane_rank1(shape, kernel, runs)
     h, w = shape
     kernel = np.asarray(kernel, dtype=np.float64)
     kh, kw = kernel.shape
