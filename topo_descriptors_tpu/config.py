@@ -48,6 +48,9 @@ class Config:
     # (distinct run widths) slice adds per pixel, exact and far below both
     # the direct conv's O(size^2) FMAs and the FFT's transpose traffic.
     sat_conv_min_taps: int = 128
+    # valley/ridge row-channel MXU conv: largest row-stack (KY copies of the
+    # field) to keep in HBM before switching to the FFT formulation.
+    rowchan_max_bytes: int = 1536 * 1024 * 1024
     # Reproduce the reference's int32-truncation quirk in the rolling std
     # (reference topo.py:300). Set False for a cleaner float32 variance.
     std_int32_parity: bool = True

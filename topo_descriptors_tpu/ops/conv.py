@@ -337,7 +337,12 @@ def conv2d_valid_bank(x: Array, kernels: Array, method: str = "auto") -> Array:
     return out[0]
 
 
-def conv2d_bank_rowchan(x: Array, kernels: Array, padding: str = "same") -> Array:
+def conv2d_bank_rowchan(
+    x: Array,
+    kernels: Array,
+    padding: str = "same",
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+) -> Array:
     """Kernel-bank convolution with the kernel rows as input channels.
 
     A TPU-shaped reformulation of :func:`conv2d_same_batch` /
@@ -372,7 +377,7 @@ def conv2d_bank_rowchan(x: Array, kernels: Array, padding: str = "same") -> Arra
         padding=((0, 0), pad_x),
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         preferred_element_type=x.dtype,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
     return out[0]
 

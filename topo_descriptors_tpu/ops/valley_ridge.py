@@ -116,7 +116,11 @@ def valley_ridge(
     a_angles, n_flats, ky, kx = bank.shape
 
     if method == "auto":
-        method = "fft" if ky * kx >= CFG.fft_conv_min_taps else "direct"
+        # the row-channel MXU conv needs a KY-deep row stack of the field;
+        # switch to FFT only when that stack outgrows its HBM budget (the
+        # MXU path wins on arithmetic at every size that fits)
+        rows_bytes = ky * dem.shape[0] * dem.shape[1] * 4
+        method = "fft" if rows_bytes > CFG.rowchan_max_bytes else "direct"
     while a_angles % angle_chunk:
         angle_chunk -= 1
     n_chunks = a_angles // angle_chunk
@@ -138,7 +142,13 @@ def valley_ridge(
     else:
 
         def conv_chunk(kernels):
-            return conv2d_bank_rowchan(dem, kernels, padding="same")
+            # bf16x3 (HIGH) keeps ~2^-21 relative error on the standardized
+            # field — far inside the descriptor's tolerance — at half the
+            # MXU passes of HIGHEST (bf16x6)
+            return conv2d_bank_rowchan(
+                dem, kernels, padding="same",
+                precision=jax.lax.Precision.HIGH,
+            )
 
     bank_chunks = jnp.asarray(
         bank.reshape(n_chunks, angle_chunk * n_flats, ky, kx), dtype=dem.dtype

@@ -311,7 +311,10 @@ class ShardedOps:
                 def step(carry, inputs):
                     norm, direction = carry
                     kernels, angle = inputs
-                    convs = C.conv2d_bank_rowchan(padded, kernels, padding="valid")
+                    convs = C.conv2d_bank_rowchan(
+                        padded, kernels, padding="valid",
+                        precision=jax.lax.Precision.HIGH,
+                    )
                     combined = jnp.max(_flat_axis_combine(convs), axis=0)
                     greater = combined > norm
                     return (
