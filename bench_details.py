@@ -19,15 +19,18 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 
-def amort(fn, arg, iters=20, warmup=2):
+def amort(fn, arg, iters=20, warmup=2, repeats=3):
     import jax.numpy as jnp
 
     for _ in range(warmup):
         np.asarray(jax.tree_util.tree_leaves(fn(arg))[0])
-    t0 = time.perf_counter()
-    results = [fn(arg) for _ in range(iters)]
-    float(jnp.sum(jax.tree_util.tree_leaves(results[-1])[0]))
-    return (time.perf_counter() - t0) / iters
+    rates = []
+    for _ in range(repeats):  # min over repeats: relay hiccups (~hundreds of
+        t0 = time.perf_counter()  # ms, rare) otherwise dominate a single pass
+        results = [fn(arg) for _ in range(iters)]
+        float(jnp.sum(jax.tree_util.tree_leaves(results[-1])[0]))
+        rates.append((time.perf_counter() - t0) / iters)
+    return min(rates)
 
 
 import jax  # noqa: E402

@@ -109,21 +109,52 @@ def sx_sweep(
     distances: np.ndarray,
     border: int,
     height: float = 10.0,
+    method: str = "auto",
 ) -> jax.Array:
     """Sx for a whole fan of azimuths in one device program -> (A, H, W).
 
     The reference loops ``compute_sx`` per azimuth from the host, re-reading
     the DEM each time (an azimuth sweep 0-350 deg is 36 independent runs).
-    Here all azimuths share one NaN-padded DEM resident on device and run as
-    a ``lax.map`` over a common ragged-to-rectangular offset table — rays
-    padded to the widest azimuth with NaN distances, which the fmax reduction
-    ignores by construction.
+    Here all azimuths share one device program. On TPU each azimuth runs the
+    block-resident Pallas kernel (its padding rows stripped host-side — the
+    rectangular table pads rays to the widest azimuth); off-TPU a ``lax.map``
+    scans the shared NaN-padded DEM with NaN-distance padding that the fmax
+    reduction ignores by construction.
 
     ``offsets`` is (A, Kmax, 2) int32, ``distances`` (A, Kmax) with NaN
     padding; build both with
     :func:`topo_descriptors_tpu.kernels.sx_geometry.sx_sweep_offsets`.
     """
     h, w = dem.shape
+    if method == "auto":
+        # each azimuth's offset table compiles a distinct Mosaic kernel
+        # (~seconds each through the remote-compile path); for wide fans the
+        # one-program XLA scan amortizes far better, so Pallas only
+        # auto-selects for small fans
+        method = (
+            "pallas" if _on_tpu() and np.asarray(offsets).shape[0] <= 4 else "xla"
+        )
+    if method == "pallas":
+        from topo_descriptors_tpu.ops.pallas.sx_block import sx_pallas
+
+        offsets_np = np.asarray(offsets)
+        dists_np = np.asarray(distances)
+        outs = []
+        for a in range(offsets_np.shape[0]):
+            # strip trailing pad rows: zero offset + NaN distance (genuine
+            # radius_min NaNs sit mid-table and never have a (0,0) offset —
+            # the centre pixel is excluded from every ray, topo.py:921-923)
+            k = dists_np.shape[1]
+            while (
+                k > 0
+                and np.isnan(dists_np[a, k - 1])
+                and not offsets_np[a, k - 1].any()
+            ):
+                k -= 1
+            outs.append(
+                sx_pallas(dem, offsets_np[a, :k], dists_np[a, :k], border, height)
+            )
+        return jnp.stack(outs)
     pad = int(border)
     padded = jnp.pad(dem, pad, mode="constant", constant_values=np.nan)
     base = dem + jnp.asarray(height, dtype=dem.dtype)
