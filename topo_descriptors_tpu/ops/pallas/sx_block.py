@@ -69,6 +69,186 @@ def _sx_kernel(
     out_ref[:] = acc
 
 
+def _sx_sweep_kernel(
+    colptr_ref,  # (A, C+1) int32 SMEM: CSR pointers into the ox-sorted rays
+    oy_ref,  # (A, Kmax) int32 SMEM: row offsets (border added), ox-sorted
+    inv_ref,  # (A, Kmax) f32 SMEM: 1/distance, ox-sorted
+    dem_ref,  # padded DEM, stays in HBM/ANY
+    out_ref,  # (1, BY, BX) VMEM output block for azimuth a
+    scratch,  # (BY+2b, BX+2b) VMEM halo window, persists across azimuths
+    sem,  # DMA semaphore
+    *,
+    border: int,
+    block: tuple,
+    window_shape: tuple,
+    height: float,
+):
+    """Whole-fan Sx: ray offsets as *runtime data* instead of constants.
+
+    Unlike :func:`_sx_kernel` (offsets baked into the program — one Mosaic
+    compile per azimuth geometry), this kernel reads the offset table from
+    SMEM, so ONE compiled program serves every azimuth of the fan (and any
+    fan of the same table shape). The grid is (gy, gx, A) with the azimuth
+    dimension innermost: each block's halo window is DMA'd from HBM exactly
+    once and stays VMEM resident while all A azimuths reduce over it.
+
+    Mosaic only allows dynamic vector-load starts provably aligned to the
+    (8, 128) tile, so a dynamic (oy, ox) shift cannot be a plain VMEM
+    slice, and dynamic rotates cost ~1 cycle *per row*. The rays are
+    therefore CSR-grouped by their column offset host-side: the kernel
+    walks the C = 2*border+1 column groups in a static loop (static lane
+    slice, free at compile time); the row shift decomposes into an
+    8-aligned dynamic load — ``(oy // 8) * 8`` is alignment Mosaic can
+    prove — plus an 8-way switch over static remainder slices, keeping
+    every vector op at full (8, 128)-tile throughput.
+    """
+    by, bx = block
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    a = pl.program_id(2)
+
+    wy, wx = window_shape
+    n_cols = colptr_ref.shape[1] - 1
+
+    @pl.when(a == 0)
+    def _load_window():
+        copy = pltpu.make_async_copy(
+            dem_ref.at[pl.ds(i * by, wy), pl.ds(j * bx, wx)],
+            scratch,
+            sem,
+        )
+        copy.start()
+        copy.wait()
+
+    base = scratch[border : border + by, border : border + bx] + jnp.float32(
+        height
+    )
+
+    acc = jnp.full((by, bx), -jnp.inf, jnp.float32)
+    for c in range(n_cols):
+
+        def body(k, acc, c=c):
+            oy = oy_ref[a, k]
+            inv = inv_ref[a, k]
+            oy_hi = (oy // 8) * 8
+            tile = scratch[pl.ds(oy_hi, by + 8), c : c + bx]
+            shifted = jax.lax.switch(
+                oy - oy_hi,
+                [lambda t=tile, r=r: t[r : r + by, :] for r in range(8)],
+            )
+            return jnp.fmax(acc, (shifted - base) * inv)
+
+        # empty group (no rays in this column for azimuth a) -> zero trips
+        acc = jax.lax.fori_loop(
+            colptr_ref[a, c], colptr_ref[a, c + 1], body, acc
+        )
+    out_ref[0] = acc
+
+
+def sx_sweep_pallas(
+    dem: jax.Array,
+    offsets: np.ndarray,
+    distances: np.ndarray,
+    border: int,
+    height: float = 10.0,
+    block: tuple = (256, 256),
+    zero_border: bool = True,
+) -> jax.Array:
+    """Sx for a fan of azimuths -> (A, H, W), one block-resident program.
+
+    ``offsets`` (A, Kmax, 2) / ``distances`` (A, Kmax) from
+    :func:`topo_descriptors_tpu.kernels.sx_geometry.sx_sweep_offsets`.
+    Replaces the reference's per-azimuth host loop over ``compute_sx``
+    (topo.py:760) with a single device program whose halo windows are read
+    from HBM once per block — the XLA scan formulation re-streams a full
+    (H, W) slice per ray offset per azimuth, so at wide fans this kernel is
+    ~A x lighter on HBM and runs at VPU roofline.
+    """
+    h, w = dem.shape
+    by, bx = block
+    b = int(border)
+    gy, gx = _cdiv(h, by), _cdiv(w, bx)
+
+    # extra 8 rows so the aligned (oy//8*8, by+8) tile load stays in bounds
+    # for every row offset oy <= 2*border
+    wy = -((-(by + 2 * b)) // 8) * 8 + 8
+    wx = -((-(bx + 2 * b)) // 128) * 128
+
+    pad_y = (gy - 1) * by + wy - (h + b)
+    pad_x = (gx - 1) * bx + wx - (w + b)
+    padded = jnp.pad(
+        dem,
+        ((b, pad_y), (b, pad_x)),
+        mode="constant",
+        constant_values=np.nan,
+    ).astype(jnp.float32)
+
+    offsets = np.asarray(offsets)
+    distances = np.asarray(distances)
+    n_az, kmax = offsets.shape[:2]
+    n_cols = 2 * b + 1
+    with np.errstate(divide="ignore"):  # distance-0 quirk (see ops.sx)
+        inv_all = (1.0 / distances).astype(np.float32)
+
+    # CSR-group each azimuth's rays by column offset (see kernel docstring).
+    # Padding rows (zero offset, NaN distance) are dropped here outright —
+    # the CSR ranges only cover real rays, so ragged fans cost nothing.
+    oy = np.zeros((n_az, kmax), np.int32)
+    inv = np.full((n_az, kmax), np.nan, np.float32)
+    colptr = np.zeros((n_az, n_cols + 1), np.int32)
+    for a in range(n_az):
+        real = ~(np.isnan(distances[a]) & ~offsets[a].any(axis=1))
+        oy_a = offsets[a, real, 0] + b
+        ox_a = offsets[a, real, 1] + b
+        order = np.argsort(ox_a, kind="stable")
+        n_real = order.size
+        oy[a, :n_real] = oy_a[order]
+        inv[a, :n_real] = inv_all[a, real][order]
+        colptr[a, 1:] = np.cumsum(np.bincount(ox_a, minlength=n_cols))
+
+    kernel = functools.partial(
+        _sx_sweep_kernel,
+        border=b,
+        block=(by, bx),
+        window_shape=(wy, wx),
+        height=float(height),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(gy, gx, n_az),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, by, bx), lambda i, j, a: (a, i, j), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((wy, wx), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        out_shape=jax.ShapeDtypeStruct((n_az, gy * by, gx * bx), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            # scratch persistence across the azimuth dim requires strictly
+            # sequential grid order
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(colptr, oy, inv, padded)
+
+    acc = out[:, :h, :w]
+    sx_deg = jnp.degrees(jnp.arctan(acc))
+    sx_deg = jnp.where(jnp.isneginf(acc), jnp.nan, sx_deg)
+    if not zero_border:
+        return sx_deg.astype(dem.dtype)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    interior = (yy >= b) & (yy < h - b) & (xx >= b) & (xx < w - b)
+    return jnp.where(interior[None], sx_deg, 0.0).astype(dem.dtype)
+
+
 def sx_pallas(
     dem: jax.Array,
     offsets: np.ndarray,
