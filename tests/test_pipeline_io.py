@@ -206,3 +206,73 @@ def test_throughput_report():
     rl = Roofline()
     assert rl.sx_light_speed_ms(1_300_000, 240) > 0
     assert rl.hbm_light_speed_ms(10**9) > 1.0
+
+
+def test_compute_tpi_fused_multiscale_matches_per_scale(tmp_path, dem_raster):
+    # >1 scale with no smoothing routes through the fused disk_descriptors
+    # batch; outputs must match single-scale runs within the fused-path
+    # tolerance (see test_multiscale) and keep the per-file contract
+    import jax
+
+    from topo_descriptors_tpu import geo, ops
+
+    files = pipeline.compute_tpi(dem_raster, [300, 600, 900], outdir=tmp_path)
+    assert [p.name for p in files] == [
+        "topo_TPI_300M.nc", "topo_TPI_600M.nc", "topo_TPI_900M.nc",
+    ]
+    scales_pxl, _ = geo.scale_to_pixel([300, 600, 900], dem_raster)
+    for path, size in zip(files, scales_pxl):
+        ref = np.asarray(
+            jax.jit(lambda x, s=int(size): ops.tpi(x, s))(dem_raster.data)
+        )
+        out = read_raster(path)
+        np.testing.assert_allclose(out.data, ref, rtol=1e-4, atol=2e-2)
+
+
+def test_compute_tpi_std_fused(tmp_path, dem_raster):
+    import jax
+
+    from topo_descriptors_tpu import geo, ops
+
+    files = pipeline.compute_tpi_std(dem_raster, [300, 600], outdir=tmp_path)
+    assert sorted(p.name for p in files) == [
+        "topo_STD_300M.nc", "topo_STD_600M.nc",
+        "topo_TPI_300M.nc", "topo_TPI_600M.nc",
+    ]
+    scales_pxl, _ = geo.scale_to_pixel([300, 600], dem_raster)
+    std_ref = np.asarray(
+        jax.jit(lambda x: ops.std(x, int(scales_pxl[0])))(dem_raster.data)
+    )
+    out = read_raster(tmp_path / "topo_STD_300M.nc")
+    np.testing.assert_allclose(out.data, std_ref, rtol=2e-2, atol=5e-1)
+
+
+def test_compute_tpi_fused_skip_existing(tmp_path, dem_raster):
+    first = pipeline.compute_tpi(dem_raster, [300], outdir=tmp_path)
+    mtime = first[0].stat().st_mtime_ns
+    files = pipeline.compute_tpi(
+        dem_raster, [300, 600], outdir=tmp_path, skip_existing=True
+    )
+    assert files[0].stat().st_mtime_ns == mtime  # untouched
+    assert files[1].name == "topo_TPI_600M.nc" and files[1].exists()
+
+
+def test_compute_tpi_smth_factors_fused_groups(tmp_path, dem_raster):
+    # same smth_factor but different scales -> different sigmas -> no fused
+    # group; parity with the per-scale op must hold exactly as before
+    import jax
+
+    from topo_descriptors_tpu import geo, ops
+
+    files = pipeline.compute_tpi(
+        dem_raster, [300, 600], smth_factors=[1, 1], outdir=tmp_path
+    )
+    scales_pxl, _ = geo.scale_to_pixel([300, 600], dem_raster)
+    sigmas = geo.get_sigmas([1, 1], scales_pxl)
+    ref = np.asarray(
+        jax.jit(
+            lambda x: ops.tpi(x, int(scales_pxl[1]), sigmas[1])
+        )(dem_raster.data)
+    )
+    out = read_raster(tmp_path / "topo_TPI_600M_SMTHFACT1.nc")
+    np.testing.assert_allclose(out.data, ref, rtol=1e-4, atol=2e-2)

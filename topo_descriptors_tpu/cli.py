@@ -143,10 +143,23 @@ def main(argv=None) -> int:
     sig_ratios = args.sig_ratios * len(args.scales) if len(args.sig_ratios) == 1 \
         else args.sig_ratios
 
+    # TPI and STD share their moment fields: when both are requested they run
+    # as ONE fused multi-scale program (ops/multiscale.py) instead of two
+    # independent batteries
+    descriptors = list(args.descriptors)
+    fuse_tpi_std = "tpi" in descriptors and "std" in descriptors
+    if fuse_tpi_std:
+        descriptors[descriptors.index("tpi")] = "tpi+std"
+        descriptors.remove("std")
+
     written = []
-    for name in args.descriptors:
+    for name in descriptors:
         if name == "dem":
             written += pipeline.compute_dem(dem_ds, args.scales, **common)
+        elif name == "tpi+std":
+            written += pipeline.compute_tpi_std(
+                dem_ds, args.scales, smth_factors=args.smth_factors, **common
+            )
         elif name == "tpi":
             written += pipeline.compute_tpi(
                 dem_ds, args.scales, smth_factors=args.smth_factors, **common

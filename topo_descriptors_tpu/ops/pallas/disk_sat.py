@@ -129,7 +129,7 @@ def disk_conv_sat_pallas(
     out = pl.pallas_call(
         kernel_fn,
         grid=(b, gy, gx),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, by, bx), lambda f, i, j: (f, i, j), memory_space=pltpu.VMEM
         ),

@@ -220,7 +220,7 @@ def sx_sweep_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, by, bx), lambda i, j, a: (a, i, j), memory_space=pltpu.VMEM
@@ -301,7 +301,7 @@ def sx_pallas(
     out = pl.pallas_call(
         kernel,
         grid=(gy, gx),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (by, bx), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),

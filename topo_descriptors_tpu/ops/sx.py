@@ -124,16 +124,32 @@ def sx_sweep(
     ``offsets`` is (A, Kmax, 2) int32, ``distances`` (A, Kmax) with NaN
     padding; build both with
     :func:`topo_descriptors_tpu.kernels.sx_geometry.sx_sweep_offsets`.
+
+    Backends (``method``): ``'xla'`` — lax.map over azimuths of the K-offset
+    scan; ``'pallas'`` — per-azimuth :func:`sx_pallas` calls (offsets baked
+    as constants, one Mosaic compile *per azimuth*); ``'pallas_sweep'`` — the
+    CSR whole-fan kernel (ops/pallas/sx_block.py `sx_sweep_pallas`): ray
+    tables live in SMEM as runtime data, so ONE compiled program serves the
+    entire fan and each block's halo window is DMA'd once for all azimuths.
+    ``'auto'`` on TPU picks constant-offset Pallas for small fans (<= 4
+    azimuths, where per-azimuth compiles amortize and static offsets beat
+    SMEM reads) and the one-program XLA scan beyond that: measured on
+    v5e (900x1440, 36 azimuths), the CSR kernel's runtime-offset row shifts
+    run it at 4.09/16.9 ms per azimuth (r=500/2000 m) vs the XLA scan's
+    1.76/6.45 ms, so it stays opt-in until its shift path is cheaper.
     """
     h, w = dem.shape
     if method == "auto":
-        # each azimuth's offset table compiles a distinct Mosaic kernel
-        # (~seconds each through the remote-compile path); for wide fans the
-        # one-program XLA scan amortizes far better, so Pallas only
-        # auto-selects for small fans
-        method = (
-            "pallas" if _on_tpu() and np.asarray(offsets).shape[0] <= 4 else "xla"
-        )
+        if not _on_tpu():
+            method = "xla"
+        elif np.asarray(offsets).shape[0] <= 4:
+            method = "pallas"
+        else:
+            method = "xla"
+    if method == "pallas_sweep":
+        from topo_descriptors_tpu.ops.pallas.sx_block import sx_sweep_pallas
+
+        return sx_sweep_pallas(dem, offsets, distances, border, height)
     if method == "pallas":
         from topo_descriptors_tpu.ops.pallas.sx_block import sx_pallas
 

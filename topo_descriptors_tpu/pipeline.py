@@ -141,6 +141,104 @@ def compute_dem(
     return written
 
 
+def _compute_disk_family(
+    dem_ds: Raster,
+    scales,
+    smth_factors,
+    kinds: Sequence[str],
+    ind_nans,
+    crop,
+    outdir,
+    sharded,
+    skip_existing,
+):
+    """Shared driver for the disk-kernel descriptors (TPI, rolling STD).
+
+    On the single-chip path, scales that share one pre-smooth sigma are
+    batched through :func:`ops.disk_descriptors` — the fused multi-scale
+    program that builds the moment fields once and runs one prefix-sum disk
+    conv per scale (the reference's 12-scale batch use-case,
+    scripts/compute_topo_descriptors.py:44-62, recomputes everything per
+    (descriptor, scale)). When both kinds are requested together, TPI rides
+    STD's intermediates for free. Output files keep the reference's exact
+    per-(descriptor, scale) contract. Sharded/tiled backends keep the
+    per-scale loop (their halo exchange is sized per kernel).
+    """
+    check_dem(dem_ds)
+    scales = _as_list(scales)
+    smth_factors = _as_list(smth_factors, len(scales))
+    scales_pxl, _ = geo.scale_to_pixel(scales, dem_ds)
+    sigmas = geo.get_sigmas(smth_factors, scales_pxl)
+    namers = {"tpi": _tpi_name, "std": _std_name}
+
+    written: Dict[tuple, Path] = {}
+    pending: Dict[int, List[str]] = {}
+    for idx in range(len(scales)):
+        for kind in kinds:
+            name = namers[kind](scales[idx], smth_factors[idx])
+            if skip_existing and (path := _existing(name, outdir)):
+                logger.info(f"skipping existing {path}")
+                written[(kind, idx)] = path
+            else:
+                pending.setdefault(idx, []).append(kind)
+
+    dem_dev, to_host = _compute_backend(dem_ds.data, sharded)
+
+    def write(kind, idx, array):
+        array = _apply_nans(array, ind_nans)
+        name = namers[kind](scales[idx], smth_factors[idx])
+        written[(kind, idx)] = to_netcdf(array, dem_ds, name, crop, outdir, "m")
+
+    # group by (sigma, kind set): members of a group share one fused program
+    groups: Dict[tuple, List[int]] = {}
+    for idx, kk in pending.items():
+        groups.setdefault((sigmas[idx], tuple(kk)), []).append(idx)
+
+    for (sigma, kk), idxs in groups.items():
+        fused = sharded is None and (len(idxs) > 1 or len(kk) > 1)
+        if fused:
+            sizes = tuple(int(scales_pxl[i]) for i in idxs)
+            logger.info(
+                f"Computing scales {[scales[i] for i in idxs]} meters fused "
+                f"({'+'.join(kk)}, sigma {sigma}) ..."
+            )
+            with timer(f"{'+'.join(kk)} fused x{len(idxs)} scales"):
+                batch = ops.disk_descriptors(
+                    dem_dev,
+                    sizes,
+                    sigma,
+                    compute_tpi="tpi" in kk,
+                    compute_std="std" in kk,
+                )
+                batch = {k: to_host(v) for k, v in batch.items()}
+            for j, idx in enumerate(idxs):
+                for kind in kk:
+                    write(kind, idx, batch[kind][j])
+            continue
+        for idx in idxs:
+            logger.info(
+                f"Computing scale {scales[idx]} meters with smoothing factor"
+                f" {smth_factors[idx]} ..."
+            )
+            for kind in kk:
+                op = ops.tpi if kind == "tpi" else ops.std
+                with timer(f"{kind} scale {scales[idx]}m"):
+                    if sharded is None:
+                        array = to_host(
+                            op(dem_dev, int(scales_pxl[idx]), sigmas[idx])
+                        )
+                    else:
+                        bop = sharded.tpi if kind == "tpi" else sharded.std
+                        array = to_host(
+                            bop(dem_dev, int(scales_pxl[idx]), sigmas[idx])
+                        )
+                write(kind, idx, array)
+
+    return [
+        written[(kind, idx)] for kind in kinds for idx in range(len(scales))
+    ]
+
+
 def compute_tpi(
     dem_ds: Raster,
     scales,
@@ -152,33 +250,11 @@ def compute_tpi(
     skip_existing=False,
 ):
     """TPI at each scale (reference compute_tpi, topo.py:88-141)."""
-    check_dem(dem_ds)
     logger.info(f"***Starting TPI computation for scales {scales} meters***")
-    scales = _as_list(scales)
-    smth_factors = _as_list(smth_factors, len(scales))
-    scales_pxl, _ = geo.scale_to_pixel(scales, dem_ds)
-    sigmas = geo.get_sigmas(smth_factors, scales_pxl)
-    dem_dev, to_host = _compute_backend(dem_ds.data, sharded)
-
-    written = []
-    for idx, scale_pxl in enumerate(scales_pxl):
-        name = _tpi_name(scales[idx], smth_factors[idx])
-        if skip_existing and (path := _existing(name, outdir)):
-            logger.info(f"skipping existing {path}")
-            written.append(path)
-            continue
-        logger.info(
-            f"Computing scale {scales[idx]} meters with smoothing factor"
-            f" {smth_factors[idx]} ..."
-        )
-        with timer(f"tpi scale {scales[idx]}m"):
-            if sharded is None:
-                array = to_host(ops.tpi(dem_dev, int(scale_pxl), sigmas[idx]))
-            else:
-                array = to_host(sharded.tpi(dem_dev, int(scale_pxl), sigmas[idx]))
-        array = _apply_nans(array, ind_nans)
-        written.append(to_netcdf(array, dem_ds, name, crop, outdir, "m"))
-    return written
+    return _compute_disk_family(
+        dem_ds, scales, smth_factors, ("tpi",), ind_nans, crop, outdir,
+        sharded, skip_existing,
+    )
 
 
 def compute_std(
@@ -192,33 +268,37 @@ def compute_std(
     skip_existing=False,
 ):
     """Rolling STD at each scale (reference compute_std, topo.py:216-269)."""
-    check_dem(dem_ds)
     logger.info(f"***Starting STD computation for scales {scales} meters***")
-    scales = _as_list(scales)
-    smth_factors = _as_list(smth_factors, len(scales))
-    scales_pxl, _ = geo.scale_to_pixel(scales, dem_ds)
-    sigmas = geo.get_sigmas(smth_factors, scales_pxl)
-    dem_dev, to_host = _compute_backend(dem_ds.data, sharded)
+    return _compute_disk_family(
+        dem_ds, scales, smth_factors, ("std",), ind_nans, crop, outdir,
+        sharded, skip_existing,
+    )
 
-    written = []
-    for idx, scale_pxl in enumerate(scales_pxl):
-        name = _std_name(scales[idx], smth_factors[idx])
-        if skip_existing and (path := _existing(name, outdir)):
-            logger.info(f"skipping existing {path}")
-            written.append(path)
-            continue
-        logger.info(
-            f"Computing scale {scales[idx]} meters with smoothing factor"
-            f" {smth_factors[idx]} ..."
-        )
-        with timer(f"std scale {scales[idx]}m"):
-            if sharded is None:
-                array = to_host(ops.std(dem_dev, int(scale_pxl), sigmas[idx]))
-            else:
-                array = to_host(sharded.std(dem_dev, int(scale_pxl), sigmas[idx]))
-        array = _apply_nans(array, ind_nans)
-        written.append(to_netcdf(array, dem_ds, name, crop, outdir, "m"))
-    return written
+
+def compute_tpi_std(
+    dem_ds: Raster,
+    scales,
+    smth_factors=None,
+    ind_nans=None,
+    crop=None,
+    outdir=".",
+    sharded=None,
+    skip_existing=False,
+):
+    """TPI *and* rolling STD for every scale in one fused device program.
+
+    Batch counterpart of calling :func:`compute_tpi` then :func:`compute_std`
+    (same files, same contract): the moment fields are built once and shared
+    by every (descriptor, scale) pair — TPI is an elementwise epilogue on
+    STD's intermediates (see ops/multiscale.py).
+    """
+    logger.info(
+        f"***Starting fused TPI+STD computation for scales {scales} meters***"
+    )
+    return _compute_disk_family(
+        dem_ds, scales, smth_factors, ("tpi", "std"), ind_nans, crop, outdir,
+        sharded, skip_existing,
+    )
 
 
 def compute_valley_ridge(
