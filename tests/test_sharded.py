@@ -90,15 +90,124 @@ def test_sharded_valley_ridge(sops, dem64):
     assert (np.asarray(shard[1]) != np.asarray(single[1])).mean() < 0.02
 
 
-def test_sharded_sx_multihop_halo(sops, dem64):
-    # radius 600 m at 30 m -> border 20 px > block height 32/2: the halo
-    # spans whole neighbour blocks on the 2-way y axis (multi-hop path)
+def test_sharded_sx_single_hop_wide_halo(sops, dem64):
+    # border 20 px vs block 32x24: halo is most of a block but still one
+    # ppermute hop per side (the k>=2 multi-hop path needs halo > block;
+    # see test_sharded_sx_multihop_halo below for that)
     offsets, distances, border = sx_offsets(30.0, 600.0, 30.0, 30.0)
     single = np.asarray(
         jax.jit(lambda x: ops.sx(x, offsets, distances, border))(dem64)
     )
     shard = np.asarray(sops.sx(sops.put(dem64), offsets, distances, border))
     np.testing.assert_allclose(shard, single, rtol=1e-4, atol=1e-3)
+
+
+@pytest.fixture(scope="module")
+def sops81():
+    # 8x1 mesh: 8-row blocks on dem64 make any halo > 8 genuinely multi-hop
+    assert len(jax.devices()) >= 8, "tests need 8 virtual devices"
+    return ShardedOps(make_mesh(shape=(8, 1), devices=jax.devices()[:8]))
+
+
+def test_sharded_sx_multihop_halo(sops81, dem64):
+    # border 20 px vs block height 8: the lo/hi halos need ceil(20/8) = 3
+    # ppermute hops (halo.py side_chunks k = 1..3). Same float32 reduction
+    # order as the single-chip scan -> bit-exact, not just allclose.
+    offsets, distances, border = sx_offsets(30.0, 600.0, 30.0, 30.0)
+    assert border > 2 * dem64.shape[0] // 8, "geometry must need >= 3 hops"
+    single = np.asarray(
+        jax.jit(lambda x: ops.sx(x, offsets, distances, border))(dem64)
+    )
+    shard = np.asarray(sops81.sx(sops81.put(dem64), offsets, distances, border))
+    np.testing.assert_array_equal(shard, single)
+
+
+def test_sharded_gaussian_multihop_reflect(sops81, dem64):
+    # sigma 6 -> tap radius 24 vs block height 8: the reflect fill must
+    # gather 3 hops of neighbour data and reflect the true domain edge
+    # (halo.py _reflect_oob), matching scipy.ndimage 'reflect' semantics
+    single = np.asarray(jax.jit(lambda x: ops.gaussian_filter(x, 6.0))(dem64))
+    shard = np.asarray(sops81.gaussian(sops81.put(dem64), 6.0))
+    np.testing.assert_allclose(shard, single, rtol=1e-6, atol=1e-3)
+
+
+def test_sharded_gaussian_reflect_too_wide_raises(sops81, dem64):
+    # tap radius > block + opposite halo is unreachable; radius >= domain is
+    # the genuinely impossible case and must fail loudly at the driver level
+    with pytest.raises(Exception, match="reflect halo"):
+        np.asarray(sops81.gaussian(sops81.put(dem64), 20.0))
+
+
+def test_sharded_tpi_ragged_grid(mesh, sops):
+    # a (63, 97) grid does not divide the (2, 4) mesh; zero pad_to_mesh +
+    # crop is exact for the plain disk conv (pad pixel == zero boundary)
+    from topo_descriptors_tpu.parallel.mesh import pad_to_mesh
+
+    rng = np.random.default_rng(7)
+    dem = (1200 + 300 * rng.standard_normal((63, 97))).astype(np.float32)
+    single = np.asarray(jax.jit(lambda x: ops.tpi(x, 7))(dem))
+    padded, (h, w) = pad_to_mesh(dem, mesh, fill=0.0)
+    shard = np.asarray(sops.tpi(sops.put(padded), 7))[:h, :w]
+    np.testing.assert_allclose(shard, single, rtol=1e-5, atol=2e-2)
+
+
+def test_sharded_sx_ragged_grid(mesh, sops):
+    # NaN pad pixels are fmax-skipped like beyond-edge halo fill; the zero
+    # border is masked at the original frame via valid_shape
+    from topo_descriptors_tpu.parallel.mesh import pad_to_mesh
+
+    rng = np.random.default_rng(8)
+    dem = (1200 + 300 * rng.standard_normal((61, 95))).astype(np.float32)
+    offsets, distances, border = sx_offsets(45.0, 300.0, 30.0, 30.0)
+    single = np.asarray(
+        jax.jit(lambda x: ops.sx(x, offsets, distances, border))(dem)
+    )
+    padded, (h, w) = pad_to_mesh(dem, mesh, fill=np.nan)
+    shard = np.asarray(
+        sops.sx(sops.put(padded), offsets, distances, border,
+                valid_shape=(h, w))
+    )[:h, :w]
+    np.testing.assert_array_equal(shard, single)
+
+
+def test_sharded_valley_ridge_ragged_grid(mesh, sops):
+    # masked-psum standardization + post-standardize zeroing of pad pixels
+    from topo_descriptors_tpu.parallel.mesh import pad_to_mesh
+
+    rng = np.random.default_rng(9)
+    dem = (1200 + 300 * rng.standard_normal((63, 94))).astype(np.float32)
+    single = jax.jit(lambda x: ops.valley_ridge(x, 7, "valley", (0, 0.2)))(dem)
+    padded, (h, w) = pad_to_mesh(dem, mesh, fill=0.0)
+    shard = sops.valley_ridge(
+        sops.put(padded), 7, "valley", (0, 0.2), valid_shape=(h, w)
+    )
+    np.testing.assert_allclose(
+        np.asarray(shard[0])[:h, :w], np.asarray(single[0]),
+        rtol=1e-4, atol=2e-3,
+    )
+    assert (
+        np.asarray(shard[1])[:h, :w] != np.asarray(single[1])
+    ).mean() < 0.02
+
+
+def test_pipeline_ragged_sharded_drivers(mesh, sops, tmp_path):
+    # end-to-end: the drivers pad, compute, and crop transparently
+    from topo_descriptors_tpu import pipeline
+    from topo_descriptors_tpu.io.netcdf import read_raster
+    from topo_descriptors_tpu.io.synthetic import basodino_like_dem
+
+    raster = basodino_like_dem(61, 94, seed=11)  # 30 m grid; 200 m -> size 7
+    single = np.asarray(
+        jax.jit(lambda x: ops.tpi(x, 7))(raster.data.astype(np.float32))
+    )
+    paths = pipeline.compute_tpi(raster, 200, outdir=tmp_path, sharded=sops)
+    out = read_raster(paths[0])
+    assert out.data.shape == raster.data.shape
+    np.testing.assert_allclose(out.data, single, rtol=1e-5, atol=2e-2)
+
+    # gaussian smoothing has no exact padded form -> actionable error
+    with pytest.raises(ValueError, match="tiled runner"):
+        pipeline.compute_dem(raster, 200, outdir=tmp_path, sharded=sops)
 
 
 def test_sharded_sx_small_radius(sops, dem64):

@@ -67,6 +67,28 @@ def _edge_fill(x, axis: int, size: int, side: str, fill: str):
     raise ValueError(f"unknown fill {fill!r}")
 
 
+def _reflect_oob(
+    ext: jax.Array, axis: int, lo: int, axis_name: str, n: int, total: int
+) -> jax.Array:
+    """Overwrite out-of-domain positions of a halo-extended block with the
+    symmetric reflection of the in-domain data.
+
+    ``ext`` is the block extended by a multi-hop zero-fill exchange, so every
+    position whose *global* index lies inside ``[0, total)`` already holds
+    true data; positions beyond the domain edge hold filler. The reflection
+    source of global row ``g`` is ``-1-g`` (top) / ``2*total-1-g`` (bottom) —
+    scipy.ndimage's 'reflect' (``d c b a | a b c d``) — and, provided the
+    halo is no wider than block + opposite halo (checked by the caller), that
+    source is already present in ``ext``, so one dynamic gather finishes the
+    job. Interior devices gather the identity.
+    """
+    length = ext.shape[axis]
+    base = jax.lax.axis_index(axis_name) * n - lo
+    g = base + jnp.arange(length)
+    r = jnp.where(g < 0, -1 - g, jnp.where(g >= total, 2 * total - 1 - g, g))
+    return jnp.take(ext, r - base, axis=axis)
+
+
 def halo_pad_1d(
     x: jax.Array,
     axis: int,
@@ -78,14 +100,28 @@ def halo_pad_1d(
     """Extend the local block along one mesh axis with (lo, hi) halo rows.
 
     Multi-hop: a halo wider than the block length gathers from
-    neighbours-of-neighbours via repeated ``ppermute`` shifts. ``reflect`` and
-    ``linear_extrap`` fills require halo <= block (the reflected data must be
-    locally resident), which holds for every descriptor at sane block sizes.
+    neighbours-of-neighbours via repeated ``ppermute`` shifts. ``reflect``
+    supports halos wider than a block too (big-sigma Gaussian on wide
+    meshes): the halo is first gathered with a zero-fill multi-hop exchange,
+    then out-of-domain positions are overwritten with reflections of the
+    gathered in-domain data (:func:`_reflect_oob`). ``linear_extrap`` is
+    one-row by contract (np.gradient edges).
     """
     lo, hi = _norm_halo(halo)
     n = x.shape[axis]
-    if (lo > n or hi > n) and fill in ("reflect", "linear_extrap"):
+    if (lo > n or hi > n) and fill == "linear_extrap":
         raise ValueError(f"{fill} fill needs halo <= block ({(lo, hi)} vs {n})")
+    if (lo > n or hi > n) and fill == "reflect":
+        total = axis_size * n
+        if lo > n + hi or hi > n + lo or lo >= total or hi >= total:
+            raise ValueError(
+                f"reflect halo {(lo, hi)} too wide for mesh axis "
+                f"{axis_name} (block {n}, domain {total}): the reflection "
+                "source must fit in block + opposite halo; use fewer devices "
+                "along this axis or the tiled runner"
+            )
+        ext = halo_pad_1d(x, axis, halo, axis_name, axis_size, fill="zero")
+        return _reflect_oob(ext, axis, lo, axis_name, n, total)
     idx = jax.lax.axis_index(axis_name)
 
     def side_chunks(side: str, width: int):

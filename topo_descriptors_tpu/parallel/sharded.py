@@ -285,14 +285,31 @@ class ShardedOps:
         mode: str,
         flat_list: Sequence[float] = (0, 0.15, 0.3),
         sigma: Optional[float] = None,
+        valid_shape: Optional[Tuple[int, int]] = None,
     ):
         """Sharded valley/ridge index (reference topo.py:389-453). The global
         standardization becomes a pmean collective; the angle loop stays a
-        device-side scan over the precomputed rotated bank."""
+        device-side scan over the precomputed rotated bank.
+
+        ``valid_shape`` enables ragged grids padded with ``pad_to_mesh``: the
+        standardization statistics become masked ``psum`` collectives over
+        the true domain only, and pad pixels are zeroed *after* standardizing
+        — a zero pixel contributes nothing to the convolution, exactly like
+        the single-chip zero boundary — so the cropped result is bit-
+        comparable to the unpadded single-chip op. Requires ``sigma=None``
+        (a pre-smooth would reflect pad values at the padded edge)."""
         self._check(x.shape)
+        if valid_shape is not None and sigma:
+            raise ValueError(
+                "ragged valley_ridge does not support a pre-smooth sigma: "
+                "the Gaussian would reflect pad values at the padded edge; "
+                "smooth on an evenly dividing grid or the tiled runner"
+            )
         bank = prepare_valley_bank(size, mode, tuple(flat_list))
         a_angles, n_flats, ky, kx = bank.shape
         (ply, phy), (plx, phx) = C._same_pads(ky), C._same_pads(kx)
+        h, w = x.shape
+        lh, lw = h // self.gy, w // self.gx
 
         def build():
             bank_j = jnp.asarray(bank)
@@ -301,9 +318,24 @@ class ShardedOps:
             def local(block):
                 if sigma:
                     block = self._local_gaussian(block, sigma)
-                mean = _global_mean(block)
-                var = _global_mean((block - mean) ** 2)
-                block = (block - mean) / jnp.sqrt(var)
+                if valid_shape is None:
+                    mean = _global_mean(block)
+                    var = _global_mean((block - mean) ** 2)
+                    block = (block - mean) / jnp.sqrt(var)
+                else:
+                    vh, vw = valid_shape
+                    giy = global_index(0, GY, lh, block.shape)
+                    gix = global_index(1, GX, lw, block.shape)
+                    mask = ((giy < vh) & (gix < vw)).astype(block.dtype)
+                    cnt = float(vh * vw)
+                    mean = jax.lax.psum(jnp.sum(block * mask), (GY, GX)) / cnt
+                    var = (
+                        jax.lax.psum(
+                            jnp.sum((block - mean) ** 2 * mask), (GY, GX)
+                        )
+                        / cnt
+                    )
+                    block = (block - mean) / jnp.sqrt(var) * mask
                 padded = exchange_halo(
                     block, (ply, phy), (plx, phx), (self.gy, self.gx), "zero"
                 )
@@ -334,7 +366,8 @@ class ShardedOps:
             return local
 
         return self._wrap(
-            ("valley", size, mode, tuple(flat_list), sigma, x.shape),
+            ("valley", size, mode, tuple(flat_list), sigma, x.shape,
+             valid_shape),
             build,
             1,
             n_out=2,
@@ -348,13 +381,21 @@ class ShardedOps:
         distances: np.ndarray,
         border: int,
         height: float = 10.0,
+        valid_shape: Optional[Tuple[int, int]] = None,
     ) -> jax.Array:
         """Sharded Sx horizon scan (reference topo.py:928-953). Halo width is
         the full ray length — the 'long-context' stressor of the spatial
         decomposition (SURVEY.md §5) — exchanged multi-hop when rays span
-        multiple blocks. The zero border lives at *global* edges."""
+        multiple blocks. The zero border lives at *global* edges.
+
+        ``valid_shape`` enables ragged grids padded with NaN via
+        ``pad_to_mesh``: NaN pad pixels are skipped by the fmax reduction
+        exactly like beyond-edge NaN halo fill on the single chip, and the
+        zero border is masked at the *original* frame, so the cropped result
+        is bit-comparable to the unpadded single-chip op."""
         self._check(x.shape)
         h, w = x.shape
+        vh, vw = valid_shape if valid_shape is not None else (h, w)
         with np.errstate(divide="ignore"):  # distance-0 quirk (ops.sx docstring)
             inv_dist = (1.0 / np.asarray(distances)).astype(np.float32)
         pad = int(border)
@@ -384,7 +425,7 @@ class ShardedOps:
                 giy = global_index(0, GY, lh, block.shape)
                 gix = global_index(1, GX, lw, block.shape)
                 interior = (
-                    (giy >= pad) & (giy < h - pad) & (gix >= pad) & (gix < w - pad)
+                    (giy >= pad) & (giy < vh - pad) & (gix >= pad) & (gix < vw - pad)
                 )
                 return jnp.where(interior, sx_deg, 0.0).astype(block.dtype)
 
@@ -396,6 +437,7 @@ class ShardedOps:
             border,
             height,
             offsets.shape[0],
+            (vh, vw),
             hash(offsets.tobytes()),
             hash(inv_dist.tobytes()),
         )

@@ -49,20 +49,45 @@ def _existing(name: str, outdir) -> Optional[Path]:
     return path if path.exists() else None
 
 
-def _compute_backend(dem_val, backend):
-    """Return (array-like for the backend, to_host) pair.
+def _compute_backend(dem_val, backend, ragged_fill=None):
+    """Return (array for the backend, to_host, valid_shape) triple.
 
     ``backend`` may be None (single-chip jit), a
     :class:`~topo_descriptors_tpu.parallel.sharded.ShardedOps` (multi-device
     mesh), or a :class:`~topo_descriptors_tpu.parallel.tiles.TiledRunner`
     (out-of-core banding) — the three share method signatures.
+
+    ``valid_shape`` is the original grid shape; it differs from the device
+    array's shape only on the sharded path with a grid that doesn't divide
+    the mesh evenly, in which case the array is padded bottom/right with
+    ``ragged_fill`` (``pad_to_mesh``) and ``to_host`` crops back. A driver
+    whose op can't run exactly on a padded grid passes ``ragged_fill=None``
+    and gets an actionable error instead.
     """
     dem_val = np.asarray(dem_val, dtype=CFG.compute_dtype)
+    shape = dem_val.shape
     if backend is None:
-        return jnp.asarray(dem_val), np.asarray
+        return jnp.asarray(dem_val), np.asarray, shape
     if hasattr(backend, "put"):  # ShardedOps: place blocks on the mesh
-        return backend.put(dem_val), np.asarray
-    return dem_val, np.asarray  # TiledRunner consumes host arrays
+        h, w = shape
+        if h % backend.gy or w % backend.gx:
+            if ragged_fill is None:
+                raise ValueError(
+                    f"grid {shape} does not divide the "
+                    f"({backend.gy}, {backend.gx}) mesh and this descriptor "
+                    "has no exact padded formulation; choose a mesh shape "
+                    "that divides the grid or use the tiled runner"
+                )
+            from topo_descriptors_tpu.parallel.mesh import pad_to_mesh
+
+            padded, _ = pad_to_mesh(dem_val, backend.mesh, fill=ragged_fill)
+
+            def crop(a):
+                return np.asarray(a)[: shape[0], : shape[1]]
+
+            return backend.put(padded), crop, shape
+        return backend.put(dem_val), np.asarray, shape
+    return dem_val, np.asarray, shape  # TiledRunner consumes host arrays
 
 
 # --- naming (reference topo.py:83-85, 184-188, 310-314, 456-463, 647-655,
@@ -121,7 +146,7 @@ def compute_dem(
     scales = _as_list(scales)
     scales_pxl, _ = geo.scale_to_pixel(scales, dem_ds)
     sigmas = scales_pxl / CFG.scale_std
-    dem_dev, to_host = _compute_backend(dem_ds.data, sharded)
+    dem_dev, to_host, _ = _compute_backend(dem_ds.data, sharded)
 
     written = []
     for idx, sigma in enumerate(sigmas):
@@ -182,7 +207,12 @@ def _compute_disk_family(
             else:
                 pending.setdefault(idx, []).append(kind)
 
-    dem_dev, to_host = _compute_backend(dem_ds.data, sharded)
+    # ragged sharded grids: zero bottom/right padding is exact for the plain
+    # disk convolutions (a zero pad pixel contributes exactly what the
+    # single-chip zero boundary would), but a pre-smooth would reflect pad
+    # values at the padded edge — refuse that combination loudly
+    ragged_fill = 0.0 if not any(sigmas[i] for i in pending) else None
+    dem_dev, to_host, _ = _compute_backend(dem_ds.data, sharded, ragged_fill)
 
     def write(kind, idx, array):
         array = _apply_nans(array, ind_nans)
@@ -321,7 +351,11 @@ def compute_valley_ridge(
     smth_factors = _as_list(smth_factors, len(scales))
     scales_pxl, _ = geo.scale_to_pixel(scales, dem_ds)
     sigmas = geo.get_sigmas(smth_factors, scales_pxl)
-    dem_dev, to_host = _compute_backend(dem_ds.data, sharded)
+    ragged_fill = 0.0 if not any(sigmas) else None
+    dem_dev, to_host, valid_shape = _compute_backend(
+        dem_ds.data, sharded, ragged_fill
+    )
+    padded = getattr(dem_dev, "shape", valid_shape) != valid_shape
 
     written = []
     for idx, scale_pxl in enumerate(scales_pxl):
@@ -342,7 +376,8 @@ def compute_valley_ridge(
                 )
             else:
                 arrays = sharded.valley_ridge(
-                    dem_dev, int(scale_pxl), mode, list(flat_list), sigmas[idx]
+                    dem_dev, int(scale_pxl), mode, list(flat_list), sigmas[idx],
+                    valid_shape=valid_shape if padded else None,
                 )
             arrays = [to_host(a) for a in arrays]
         for array, name in zip(arrays, names):
@@ -369,7 +404,7 @@ def compute_gradient(
     sig_ratios = _as_list(sig_ratios, len(scales))
     scales_pxl, res_meters = geo.scale_to_pixel(scales, dem_ds)
     sigmas = scales_pxl / CFG.scale_std
-    dem_dev, to_host = _compute_backend(dem_ds.data, sharded)
+    dem_dev, to_host, _ = _compute_backend(dem_ds.data, sharded)
     all_units = ["1", "1", "degree", "degree"]
 
     written = []
@@ -428,9 +463,15 @@ def sx(
             return np.asarray(
                 ops.sx(jnp.asarray(dem_ds.data), offsets, distances, border, height)
             )
-        dem_dev, _ = _compute_backend(dem_ds.data, sharded)
-        return np.asarray(
-            sharded.sx(dem_dev, offsets, distances, border, height)
+        dem_dev, to_host, valid_shape = _compute_backend(
+            dem_ds.data, sharded, ragged_fill=np.nan
+        )
+        padded = getattr(dem_dev, "shape", valid_shape) != valid_shape
+        return to_host(
+            sharded.sx(
+                dem_dev, offsets, distances, border, height,
+                valid_shape=valid_shape if padded else None,
+            )
         )
 
 
