@@ -10,8 +10,10 @@ import numpy as np
 import pytest
 from jax.experimental import pallas as pl
 
+import topo_descriptors_tpu.ops.pallas.disk_sat as dsat
 import topo_descriptors_tpu.ops.pallas.sx_block as sxb
 from topo_descriptors_tpu import kernels, ops
+from topo_descriptors_tpu.ops import conv as C
 
 
 @pytest.fixture()
@@ -24,6 +26,7 @@ def interpret_pallas(monkeypatch):
         return orig(*args, **kwargs)
 
     monkeypatch.setattr(sxb.pl, "pallas_call", interp)
+    monkeypatch.setattr(dsat.pl, "pallas_call", interp)
 
 
 def test_sx_pallas_matches_xla(dem_tiny, interpret_pallas):
@@ -77,6 +80,87 @@ def test_sx_sweep_pallas_with_radius_min(dem_tiny, interpret_pallas):
     )
     out = np.asarray(sxb.sx_sweep_pallas(dem_tiny, o, d, b, block=(16, 32)))
     np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-5)
+
+
+def _sat_call(xs, kernel, mode, block=(16, 128)):
+    kernel = np.asarray(kernel, np.float32)
+    runs = C._binary_kernel_runs(kernel[::-1, ::-1])
+    assert runs is not None
+    kh, kw = kernel.shape
+    if mode == "same":
+        pads = (C._same_pads(kh), C._same_pads(kw))
+    else:
+        pads = ((0, 0), (0, 0))
+    return np.asarray(dsat.disk_conv_sat_pallas(
+        jax.numpy.asarray(xs), kernel.shape, runs, pads, block=block
+    ))
+
+
+def _scipy_conv(xs, kernel, mode):
+    from scipy import signal
+
+    return np.stack([
+        signal.convolve(x.astype(np.float64), np.asarray(kernel, np.float64),
+                        mode=mode)
+        for x in xs
+    ]).astype(np.float32)
+
+
+def test_disk_sat_pallas_same_disk(dem_tiny, interpret_pallas):
+    kernel = kernels.circular_kernel(9)
+    xs = dem_tiny[None]
+    out = _sat_call(xs, kernel, "same")
+    np.testing.assert_allclose(out, _scipy_conv(xs, kernel, "same"),
+                               rtol=1e-5, atol=1e-2)
+
+
+def test_disk_sat_pallas_center_zero_tpi_disk(dem_tiny, interpret_pallas):
+    # TPI's centre-zeroed disk: the centre row decomposes into TWO runs
+    kernel = kernels.circular_kernel(7, exclude_center=True)
+    xs = dem_tiny[None]
+    out = _sat_call(xs, kernel, "same")
+    np.testing.assert_allclose(out, _scipy_conv(xs, kernel, "same"),
+                               rtol=1e-5, atol=1e-2)
+
+
+def test_disk_sat_pallas_even_kernel_anchor(dem_tiny, interpret_pallas):
+    # even kernel dims hit the asymmetric 'same' anchoring (k-1-s, s)
+    kernel = np.ones((4, 6), np.float32)
+    kernel[1, 2] = 0.0
+    xs = dem_tiny[None]
+    out = _sat_call(xs, kernel, "same")
+    np.testing.assert_allclose(out, _scipy_conv(xs, kernel, "same"),
+                               rtol=1e-5, atol=1e-2)
+
+
+def test_disk_sat_pallas_valid_multifield(rng, interpret_pallas):
+    # STD's three moment fields share the window DMA via the field grid dim
+    xs = rng.standard_normal((3, 40, 48)).astype(np.float32) * 100.0
+    kernel = kernels.circular_kernel(11)
+    out = _sat_call(xs, kernel, "valid")
+    np.testing.assert_allclose(out, _scipy_conv(xs, kernel, "valid"),
+                               rtol=1e-5, atol=1e-2)
+
+
+def test_disk_sat_pallas_multiblock_ragged(rng, interpret_pallas):
+    # output bigger than one block in both dims, not divisible: round-up+crop
+    xs = rng.standard_normal((1, 37, 150)).astype(np.float32) * 100.0
+    kernel = kernels.circular_kernel(5)
+    out = _sat_call(xs, kernel, "same", block=(16, 128))
+    np.testing.assert_allclose(out, _scipy_conv(xs, kernel, "same"),
+                               rtol=1e-5, atol=1e-2)
+
+
+def test_disk_sat_heuristic_matches_kernel_geometry():
+    # the routing estimate must use the block the kernel actually picks
+    (by, bx), (wy, wx) = dsat.sat_block_and_window((67, 67), 900, 1440)
+    assert by <= 256 and bx <= 512
+    assert wy >= by + 67 - 1 and wy % 8 == 0
+    assert wx >= bx + 67 and wx % 128 == 0
+    # small outputs shrink the block with it
+    (by2, bx2), (wy2, wx2) = dsat.sat_block_and_window((7, 7), 40, 48)
+    assert by2 == 40 and bx2 == 128
+    assert wy2 % 8 == 0 and wx2 % 128 == 0
 
 
 def test_sx_sweep_auto_backend_selects_xla_off_tpu(dem_tiny):

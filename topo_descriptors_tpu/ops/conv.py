@@ -136,14 +136,17 @@ def _conv2d_sat(xs: Array, kshape, runs, pads) -> Array:
     w_out = w + lx + hx - kw + 1
     # on TPU, the block-resident Pallas form of the same algorithm reads the
     # field once instead of ~size times; route there while the halo window
-    # fits comfortably in VMEM
-    window_bytes = (256 + kh - 1 + 8) * (512 + kw + 128) * 4
-    if _on_tpu() and window_bytes <= 6 * 1024 * 1024:
+    # fits comfortably in VMEM. The window estimate comes from the same
+    # geometry helper the kernel uses, so the two can never disagree.
+    if _on_tpu():
         from topo_descriptors_tpu.ops.pallas.disk_sat import (
             disk_conv_sat_pallas,
+            sat_block_and_window,
         )
 
-        return disk_conv_sat_pallas(xs, kshape, runs, pads)
+        _, (wy, wx) = sat_block_and_window(kshape, h_out, w_out)
+        if wy * wx * 4 <= 6 * 1024 * 1024:
+            return disk_conv_sat_pallas(xs, kshape, runs, pads)
     # sentinel zero column on the left so P[..., x+a] with a=0 reads 0
     xp = jnp.pad(xs, ((0, 0), (ly, hy), (lx + 1, hx)))
     p = jnp.cumsum(xp, axis=2)

@@ -35,6 +35,26 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def sat_block_and_window(
+    kshape: tuple, h_out: int, w_out: int, block: tuple = (256, 512)
+) -> tuple:
+    """The (block, window) geometry :func:`disk_conv_sat_pallas` will use.
+
+    Shared with the routing heuristic in ``ops.conv._conv2d_sat`` so the
+    VMEM-fit estimate and the kernel can never disagree: the block shrinks
+    to the (tile-rounded) output extent for small fields, and the halo
+    window is the block plus kernel extent, tile-aligned (8, 128) with one
+    sentinel column for the prefix-sum read at ``x + a`` with ``a = 0``.
+    """
+    kh, kw = kshape
+    by, bx = block
+    by = min(by, max(8, -(-h_out // 8) * 8))
+    bx = min(bx, max(128, -(-w_out // 128) * 128))
+    wy = -((-(by + kh - 1)) // 8) * 8
+    wx = -((-(bx + kw)) // 128) * 128
+    return (by, bx), (wy, wx)
+
+
 def _sat_kernel(
     src_ref,  # zero-padded (B, Hp, Wp) field stack, HBM/ANY
     out_ref,  # (BY, BX) VMEM output block
@@ -97,15 +117,8 @@ def disk_conv_sat_pallas(
     h_out = h + ly + hy - kh + 1
     w_out = w + lx + hx - kw + 1
 
-    by, bx = block
-    by = min(by, max(8, -(-h_out // 8) * 8))
-    bx = min(bx, max(128, -(-w_out // 128) * 128))
+    (by, bx), (wy, wx) = sat_block_and_window(kshape, h_out, w_out, block)
     gy, gx = _cdiv(h_out, by), _cdiv(w_out, bx)
-
-    # tile-aligned VMEM window; one sentinel zero column on the left so
-    # P[..., x+a] with a=0 reads a full prefix (see ops.conv._conv2d_sat)
-    wy = -((-(by + kh - 1)) // 8) * 8
-    wx = -((-(bx + kw)) // 128) * 128
 
     pad_y = (gy - 1) * by + wy - (h + ly)
     pad_x = (gx - 1) * bx + wx - (w + lx + 1)
