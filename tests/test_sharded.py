@@ -249,3 +249,47 @@ def test_runtime_initialize_single_process():
 
     runtime.initialize()  # must be a safe no-op without a coordinator
     runtime.initialize()  # idempotent
+
+
+def test_sharded_sx_sweep(sops, dem64):
+    # whole fan in one shard_map program: the ray halo is exchanged once and
+    # shared by every azimuth; same scan order as single-chip -> bit-exact
+    from topo_descriptors_tpu.kernels.sx_geometry import sx_sweep_offsets
+
+    o, d, b = sx_sweep_offsets([0.0, 90.0, 225.0], 300.0, 30.0, 30.0)
+    single = np.asarray(
+        jax.jit(lambda x: ops.sx_sweep(x, o, d, b, method="xla"))(dem64)
+    )
+    shard = np.asarray(sops.sx_sweep(sops.put(dem64), o, d, b))
+    np.testing.assert_array_equal(shard, single)
+
+
+def test_sharded_sx_sweep_ragged_multihop(sops81, dem64):
+    # ragged fan table (NaN pad rows) + multi-hop halo (border 20 > block 8)
+    from topo_descriptors_tpu.kernels.sx_geometry import sx_sweep_offsets
+
+    o, d, b = sx_sweep_offsets([30.0, 210.0], 600.0, 30.0, 30.0)
+    assert b > 8
+    single = np.asarray(
+        jax.jit(lambda x: ops.sx_sweep(x, o, d, b, method="xla"))(dem64)
+    )
+    shard = np.asarray(sops81.sx_sweep(sops81.put(dem64), o, d, b))
+    np.testing.assert_array_equal(shard, single)
+
+
+def test_pipeline_sx_sweep_sharded_ragged(mesh, sops, tmp_path):
+    from topo_descriptors_tpu import pipeline
+    from topo_descriptors_tpu.io.netcdf import read_raster
+    from topo_descriptors_tpu.io.synthetic import basodino_like_dem
+
+    raster = basodino_like_dem(61, 94, seed=13)
+    single = pipeline.compute_sx_sweep(
+        raster, [0.0, 90.0], 300.0, outdir=tmp_path / "single"
+    )
+    shard = pipeline.compute_sx_sweep(
+        raster, [0.0, 90.0], 300.0, outdir=tmp_path / "shard", sharded=sops
+    )
+    for p_single, p_shard in zip(single, shard):
+        a = read_raster(p_single)
+        b_ = read_raster(p_shard)
+        np.testing.assert_array_equal(b_.data, a.data)

@@ -113,3 +113,18 @@ def test_pipeline_with_tiled_backend(tmp_path):
         read_raster(files[0]).data, read_raster(single[0]).data,
         rtol=1e-5, atol=1e-3,
     )
+
+
+def test_tiled_sx_sweep(dem_small, runner):
+    # whole fan per band: band boundaries and the azimuth batch must both be
+    # invisible vs the single-pass sweep
+    offsets, distances, border = kernels.sx_sweep_offsets(
+        [0.0, 90.0, 225.0], 300.0, 30.0, 30.0
+    )
+    single = np.asarray(
+        jax.jit(
+            lambda x: ops.sx_sweep(x, offsets, distances, border)
+        )(dem_small)
+    )
+    tiled = runner.sx_sweep(dem_small, offsets, distances, border)
+    np.testing.assert_array_equal(tiled, single)

@@ -182,8 +182,10 @@ def main(argv=None) -> int:
                 **common,
             )
         elif name == "sx":
-            if sharded is None and len(args.sx_azimuths) > 1:
-                # whole fan in one device program
+            if len(args.sx_azimuths) > 1:
+                # whole fan in one device program on every backend (the
+                # sharded mesh exchanges the ray halo once for all azimuths;
+                # the tiled runner ships each band's halo window once)
                 written += pipeline.compute_sx_sweep(
                     dem_ds,
                     args.sx_azimuths,
@@ -191,6 +193,7 @@ def main(argv=None) -> int:
                     height=args.sx_height,
                     crop=crop,
                     outdir=args.outdir,
+                    sharded=sharded,
                     skip_existing=args.skip_existing,
                 )
             else:

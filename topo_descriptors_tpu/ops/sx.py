@@ -110,6 +110,7 @@ def sx_sweep(
     border: int,
     height: float = 10.0,
     method: str = "auto",
+    zero_border: bool = True,
 ) -> jax.Array:
     """Sx for a whole fan of azimuths in one device program -> (A, H, W).
 
@@ -149,7 +150,8 @@ def sx_sweep(
     if method == "pallas_sweep":
         from topo_descriptors_tpu.ops.pallas.sx_block import sx_sweep_pallas
 
-        return sx_sweep_pallas(dem, offsets, distances, border, height)
+        return sx_sweep_pallas(dem, offsets, distances, border, height,
+                               zero_border=zero_border)
     if method == "pallas":
         from topo_descriptors_tpu.ops.pallas.sx_block import sx_pallas
 
@@ -168,7 +170,8 @@ def sx_sweep(
             ):
                 k -= 1
             outs.append(
-                sx_pallas(dem, offsets_np[a, :k], dists_np[a, :k], border, height)
+                sx_pallas(dem, offsets_np[a, :k], dists_np[a, :k], border,
+                          height, zero_border=zero_border)
             )
         return jnp.stack(outs)
     pad = int(border)
@@ -197,6 +200,8 @@ def sx_sweep(
         max_ratio, _ = jax.lax.scan(step, neg_inf, (offs_a, invs_a))
         out = jnp.degrees(jnp.arctan(max_ratio))
         out = jnp.where(jnp.isneginf(max_ratio), jnp.nan, out)
+        if not zero_border:  # tiled path masks at the global frame instead
+            return out.astype(dem.dtype)
         return jnp.where(interior, out, 0.0).astype(dem.dtype)
 
     return jax.lax.map(one_azimuth, (offs, invs))

@@ -444,6 +444,93 @@ class ShardedOps:
         return self._wrap(key, build, 1)(x)
 
 
+    # ------------------------------------------------------------------
+    def sx_sweep(
+        self,
+        x: jax.Array,
+        offsets: np.ndarray,
+        distances: np.ndarray,
+        border: int,
+        height: float = 10.0,
+        valid_shape: Optional[Tuple[int, int]] = None,
+    ) -> jax.Array:
+        """Sharded Sx for a whole fan of azimuths -> (A, H, W).
+
+        One shard_map program for the entire sweep: the ray halo (width =
+        full ray length, multi-hop when rays span blocks) is exchanged
+        exactly ONCE and stays device-resident while every azimuth's offset
+        scan reduces over it — the reference re-runs compute_sx per azimuth
+        from the host (topo.py:760), re-reading the DEM each time. Padding
+        rows of the rectangular fan table (NaN distance) are fmax-ignored,
+        like :func:`topo_descriptors_tpu.ops.sx_sweep`. ``valid_shape``
+        handles ragged NaN-padded grids as in :meth:`sx`.
+        """
+        self._check(x.shape)
+        h, w = x.shape
+        vh, vw = valid_shape if valid_shape is not None else (h, w)
+        with np.errstate(divide="ignore"):  # distance-0 quirk (ops.sx)
+            inv_dist = (1.0 / np.asarray(distances)).astype(np.float32)
+        pad = int(border)
+        key = (
+            "sx_sweep",
+            x.shape,
+            border,
+            height,
+            offsets.shape,
+            (vh, vw),
+            hash(np.asarray(offsets).tobytes()),
+            hash(inv_dist.tobytes()),
+        )
+        fn = self._cache.get(key)
+        if fn is None:
+            offs = jnp.asarray(np.asarray(offsets) + pad, dtype=jnp.int32)
+            invs = jnp.asarray(inv_dist)
+            lh, lw = h // self.gy, w // self.gx
+
+            def local(block):
+                padded = exchange_halo(
+                    block, pad, pad, (self.gy, self.gx), fill="nan"
+                )
+                base = block + jnp.asarray(height, block.dtype)
+                neg_inf = _varying(
+                    jnp.full(block.shape, -jnp.inf, block.dtype)
+                )
+                giy = global_index(0, GY, lh, block.shape)
+                gix = global_index(1, GX, lw, block.shape)
+                interior = (
+                    (giy >= pad) & (giy < vh - pad)
+                    & (gix >= pad) & (gix < vw - pad)
+                )
+
+                def one_azimuth(args):
+                    offs_a, invs_a = args
+
+                    def step(carry, inputs):
+                        start, inv = inputs
+                        shifted = jax.lax.dynamic_slice(
+                            padded, (start[0], start[1]), (lh, lw)
+                        )
+                        return jnp.fmax(carry, (shifted - base) * inv), None
+
+                    max_ratio, _ = jax.lax.scan(step, neg_inf, (offs_a, invs_a))
+                    out = jnp.degrees(jnp.arctan(max_ratio))
+                    out = jnp.where(jnp.isneginf(max_ratio), jnp.nan, out)
+                    return jnp.where(interior, out, 0.0).astype(block.dtype)
+
+                return jax.lax.map(one_azimuth, (offs, invs))
+
+            fn = jax.jit(
+                shard_map(
+                    local,
+                    mesh=self.mesh,
+                    in_specs=(SPATIAL,),
+                    out_specs=P(None, GY, GX),
+                )
+            )
+            self._cache[key] = fn
+        return fn(x)
+
+
 def _slice_axis(x, axis, start, stop):
     sl = [slice(None)] * x.ndim
     sl[axis] = slice(start, stop)

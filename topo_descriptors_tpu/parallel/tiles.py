@@ -219,3 +219,35 @@ class TiledRunner:
         out[:, :b] = 0.0
         out[:, w - b :] = 0.0
         return out
+
+    def sx_sweep(
+        self,
+        dem: np.ndarray,
+        offsets: np.ndarray,
+        distances: np.ndarray,
+        border: int,
+        height: float = 10.0,
+    ) -> np.ndarray:
+        """Banded Sx azimuth sweep -> (A, H, W): each band's halo window is
+        shipped to the device once and every azimuth of the fan reduces over
+        it (the per-azimuth analog re-ships the window A times). The zero
+        border belongs to the *global* frame, applied once at the end."""
+        b = int(border)
+        n_rows, w = dem.shape
+        out = None
+        for start, stop, win_lo, win_hi in self._bands(n_rows, b, b):
+            window = jnp.asarray(dem[win_lo:win_hi])
+            rows = slice(start - win_lo, stop - win_lo)
+            band = np.asarray(
+                ops.sx_sweep(window, offsets, distances, border, height,
+                             zero_border=False)
+            )[:, rows]
+            if out is None:
+                out = np.empty((band.shape[0], n_rows, w), band.dtype)
+            out[:, start:stop] = band
+            del band
+        out[:, :b, :] = 0.0
+        out[:, n_rows - b :, :] = 0.0
+        out[:, :, :b] = 0.0
+        out[:, :, w - b :] = 0.0
+        return out

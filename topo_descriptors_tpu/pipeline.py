@@ -467,11 +467,9 @@ def sx(
             dem_ds.data, sharded, ragged_fill=np.nan
         )
         padded = getattr(dem_dev, "shape", valid_shape) != valid_shape
+        kwargs = {"valid_shape": valid_shape} if padded else {}
         return to_host(
-            sharded.sx(
-                dem_dev, offsets, distances, border, height,
-                valid_shape=valid_shape if padded else None,
-            )
+            sharded.sx(dem_dev, offsets, distances, border, height, **kwargs)
         )
 
 
@@ -485,6 +483,7 @@ def compute_sx_sweep(
     radius_min: float = 0.0,
     crop=None,
     outdir=".",
+    sharded=None,
     skip_existing=False,
 ):
     """Sx for a fan of azimuths in ONE device program.
@@ -492,7 +491,10 @@ def compute_sx_sweep(
     Functionally equals looping compute_sx over azimuths (reference usage:
     an 0-350 deg sweep is 36 separate runs), but the DEM stays device-
     resident and the fan runs as a single jit — the batch path for the
-    azimuth-sweep benchmark config.
+    azimuth-sweep benchmark config. ``sharded`` routes the whole fan through
+    a :class:`ShardedOps` mesh (one shard_map program, ray halo exchanged
+    once for all azimuths) or a :class:`TiledRunner` (each band's halo
+    window shipped once per fan).
     """
     from topo_descriptors_tpu.kernels.sx_geometry import sx_sweep_offsets
 
@@ -511,10 +513,27 @@ def compute_sx_sweep(
         azimuths, radius, dx, dy, azimuth_arc, azimuth_steps, radius_min
     )
     with timer(f"sx sweep {len(azimuths)} azimuths r {radius}m"):
-        stack = np.asarray(
-            ops.sx_sweep(jnp.asarray(dem_ds.data), offsets, distances,
-                         border, height)
-        )
+        if sharded is None:
+            stack = np.asarray(
+                ops.sx_sweep(jnp.asarray(dem_ds.data), offsets, distances,
+                             border, height)
+            )
+        elif hasattr(sharded, "put"):  # ShardedOps
+            dem_dev, _, valid_shape = _compute_backend(
+                dem_ds.data, sharded, ragged_fill=np.nan
+            )
+            padded = getattr(dem_dev, "shape", valid_shape) != valid_shape
+            stack = np.asarray(
+                sharded.sx_sweep(
+                    dem_dev, offsets, distances, border, height,
+                    valid_shape=valid_shape if padded else None,
+                )
+            )[:, : valid_shape[0], : valid_shape[1]]
+        else:  # TiledRunner
+            stack = sharded.sx_sweep(
+                np.asarray(dem_ds.data, dtype=CFG.compute_dtype),
+                offsets, distances, border, height,
+            )
     written = []
     for array, name in zip(stack, names):
         written.append(to_netcdf(array, dem_ds, name, crop, outdir, "degree"))
