@@ -4,7 +4,11 @@ import numpy as np
 import pytest
 
 from topo_descriptors_tpu.io import basodino_like_dem
-from topo_descriptors_tpu.io.geotiff import read_geotiff, write_geotiff
+from topo_descriptors_tpu.io.geotiff import (
+    GeoTiffWindowReader,
+    read_geotiff,
+    write_geotiff,
+)
 
 
 @pytest.fixture()
@@ -105,3 +109,72 @@ def test_writer_rejects_nonuniform_grid(tmp_path, dem):
     bad = Raster(data=dem.data, grid=grid)
     with pytest.raises(ValueError):
         write_geotiff(bad, tmp_path / "bad.tif")
+
+
+@pytest.mark.parametrize("compress", [True, False])
+@pytest.mark.parametrize(
+    "layout", [{"rows_per_strip": 7}, {"tile": (16, 32)}]
+)
+def test_chunked_layout_roundtrip(tmp_path, dem, layout, compress):
+    path = tmp_path / "dem.tif"
+    write_geotiff(dem, path, compress=compress, **layout)
+    back = read_geotiff(path)
+    np.testing.assert_allclose(back.data, dem.data, rtol=1e-7)
+    np.testing.assert_allclose(back.grid.x, dem.grid.x, rtol=1e-12)
+    np.testing.assert_allclose(back.grid.y, dem.grid.y, rtol=1e-12)
+
+
+@pytest.mark.parametrize(
+    "layout", [{"rows_per_strip": 7}, {"tile": (16, 16)}]
+)
+def test_windowed_reads_match_full(tmp_path, dem, layout):
+    path = tmp_path / "dem.tif"
+    write_geotiff(dem, path, **layout)
+    full = read_geotiff(path).data
+    with GeoTiffWindowReader(path) as reader:
+        assert reader.shape == dem.data.shape
+        # assorted interior/edge/degenerate windows
+        for r0, r1, c0, c1 in [
+            (0, 5, 0, 56), (3, 19, 4, 31), (35, 40, 40, 56),
+            (12, 13, 0, 1), (0, 40, 0, 56), (7, 7, 3, 9),
+        ]:
+            win = reader.read_rows(r0, r1, c0, c1)
+            np.testing.assert_array_equal(win, full[r0:r1, c0:c1])
+        # slicing protocol delegates to read_rows
+        np.testing.assert_array_equal(reader[3:19, 4:31], full[3:19, 4:31])
+        np.testing.assert_array_equal(reader[5:9], full[5:9])
+
+
+def test_windowed_read_decodes_only_intersecting_chunks(tmp_path, dem):
+    path = tmp_path / "dem.tif"
+    write_geotiff(dem, path, rows_per_strip=8)  # 40 rows -> 5 strips
+    with GeoTiffWindowReader(path) as reader:
+        reader.read_rows(9, 15)  # rows 9..14 live entirely in strip 1
+        assert reader.chunks_decoded == 1
+        reader.read_rows(0, 17)  # strips 0..2
+        assert reader.chunks_decoded == 1 + 3
+
+    path2 = tmp_path / "dem_tiled.tif"
+    write_geotiff(dem, path2, tile=(16, 16))  # 40x56 -> 3x4 tiles
+    with GeoTiffWindowReader(path2) as reader:
+        reader.read_rows(0, 10, 0, 10)  # one corner tile
+        assert reader.chunks_decoded == 1
+        reader.read_rows(10, 20, 10, 20)  # 2x2 tile neighborhood
+        assert reader.chunks_decoded == 1 + 4
+
+
+def test_window_reader_rejects_out_of_bounds(tmp_path, dem):
+    path = tmp_path / "dem.tif"
+    write_geotiff(dem, path, rows_per_strip=8)
+    with GeoTiffWindowReader(path) as reader:
+        with pytest.raises(ValueError):
+            reader.read_rows(0, 41)
+        with pytest.raises(ValueError):
+            reader.read_rows(-1, 5)
+        with pytest.raises(ValueError):
+            reader.read_rows(0, 5, 0, 57)
+
+
+def test_writer_rejects_bad_tile_dims(tmp_path, dem):
+    with pytest.raises(ValueError):
+        write_geotiff(dem, tmp_path / "bad.tif", tile=(15, 16))

@@ -23,7 +23,7 @@ from __future__ import annotations
 import struct
 import zlib
 from pathlib import Path
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -44,27 +44,37 @@ _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
 
 
-def _read_ifd(data: bytes, bo: str, offset: int) -> Dict[int, tuple]:
-    n_entries = struct.unpack_from(bo + "H", data, offset)[0]
+def _read_ifd_file(f, bo: str, offset: int) -> Dict[int, tuple]:
+    """Parse one IFD from an open file handle with seeks — only the directory
+    and out-of-line values are read, never the pixel payload (the windowed
+    reader's whole point; compare the round-1 whole-file ``read_bytes``)."""
+    f.seek(offset)
+    n_entries = struct.unpack(bo + "H", f.read(2))[0]
+    directory = f.read(n_entries * 12)
     tags = {}
+    deferred = []  # (tag, typ, count, value_offset) for out-of-line values
     for i in range(n_entries):
-        base = offset + 2 + i * 12
-        tag, typ, count = struct.unpack_from(bo + "HHI", data, base)
+        tag, typ, count = struct.unpack_from(bo + "HHI", directory, i * 12)
         size = _TYPE_SIZES.get(typ, 1) * count
         if size <= 4:
-            value_bytes = data[base + 8 : base + 8 + size]
+            value_bytes = directory[i * 12 + 8 : i * 12 + 8 + size]
+            tags[tag] = _decode_tag(bo, typ, count, value_bytes)
         else:
-            value_offset = struct.unpack_from(bo + "I", data, base + 8)[0]
-            value_bytes = data[value_offset : value_offset + size]
-        if typ in _TYPE_FMT:
-            values = struct.unpack(bo + _TYPE_FMT[typ] * count, value_bytes)
-        elif typ == 5:  # RATIONAL
-            raw = struct.unpack(bo + "I" * (2 * count), value_bytes)
-            values = tuple(raw[2 * i] / raw[2 * i + 1] for i in range(count))
-        else:
-            values = (value_bytes,)
-        tags[tag] = values
+            value_offset = struct.unpack_from(bo + "I", directory, i * 12 + 8)[0]
+            deferred.append((tag, typ, count, value_offset, size))
+    for tag, typ, count, value_offset, size in deferred:
+        f.seek(value_offset)
+        tags[tag] = _decode_tag(bo, typ, count, f.read(size))
     return tags
+
+
+def _decode_tag(bo: str, typ: int, count: int, value_bytes: bytes) -> tuple:
+    if typ in _TYPE_FMT:
+        return struct.unpack(bo + _TYPE_FMT[typ] * count, value_bytes)
+    if typ == 5:  # RATIONAL
+        raw = struct.unpack(bo + "I" * (2 * count), value_bytes)
+        return tuple(raw[2 * i] / raw[2 * i + 1] for i in range(count))
+    return (value_bytes,)
 
 
 def _dtype_for(bits: int, sample_format: int, bo: str) -> np.dtype:
@@ -84,92 +94,191 @@ def _epsg_from_geokeys(values: Tuple[int, ...]) -> str:
     return f"epsg:{epsg}" if epsg else "epsg:unknown"
 
 
-def read_geotiff(path, name: str = "DEM") -> Raster:
-    """Read a single-band GeoTIFF into a :class:`Raster`."""
-    data = Path(path).read_bytes()
-    if data[:2] == b"II":
-        bo = "<"
-    elif data[:2] == b"MM":
-        bo = ">"
-    else:
-        raise ValueError("not a TIFF file")
-    magic, ifd_offset = struct.unpack_from(bo + "HI", data, 2)
-    if magic == 43:
-        raise ValueError("BigTIFF is not supported (classic TIFF only)")
-    if magic != 42:
-        raise ValueError("not a TIFF file")
-    tags = _read_ifd(data, bo, ifd_offset)
+class GeoTiffWindowReader:
+    """Windowed (strip/tile-wise) GeoTIFF reads for grids larger than RAM.
 
-    width = tags[_W][0]
-    height = tags[_H][0]
-    bits = tags.get(_BITS, (32,))[0]
-    comp = tags.get(_COMP, (1,))[0]
-    fmt = tags.get(_SAMPLE_FORMAT, (1,))[0]
-    predictor = tags.get(_PREDICTOR, (1,))[0]
-    spp = tags.get(_SAMPLES_PER_PIXEL, (1,))[0]
-    if spp != 1:
-        raise ValueError(f"only single-band rasters supported, got {spp} bands")
-    if comp not in (1, 8, 32946):
-        raise ValueError(f"unsupported compression {comp} (none/deflate only)")
-    dtype = _dtype_for(bits, fmt, bo)
+    The header and IFD are parsed once with file seeks; the pixel payload is
+    decoded on demand per requested row/column window — only the strips or
+    tiles that intersect the window are read and decompressed. This is the
+    ingest half of the out-of-core story (SURVEY.md §7 step 7): it feeds
+    :class:`~topo_descriptors_tpu.parallel.tiles.TiledRunner` row bands and
+    per-host mesh blocks without ever materializing the full mosaic (the
+    reference's dask path, topo.py:177-178, streams *compute* but still
+    opens the whole array through xarray).
 
-    def decode(chunk: bytes, rows: int, cols: int) -> np.ndarray:
-        if comp in (8, 32946):
+    Supports the same subset as :func:`read_geotiff` (which is now a thin
+    full-window wrapper over this class). Also usable via ``with``; row
+    slicing (``reader[a:b]`` / ``reader[a:b, c:d]``) delegates to
+    :meth:`read_rows`, which lets the reader stand in for a numpy DEM in
+    band-streaming loops.
+    """
+
+    def __init__(self, path, name: str = "DEM"):
+        self.name = name
+        self.units = "m"
+        self._f = open(path, "rb")
+        head = self._f.read(8)
+        if head[:2] == b"II":
+            bo = "<"
+        elif head[:2] == b"MM":
+            bo = ">"
+        else:
+            raise ValueError("not a TIFF file")
+        magic, ifd_offset = struct.unpack_from(bo + "HI", head, 2)
+        if magic == 43:
+            raise ValueError("BigTIFF is not supported (classic TIFF only)")
+        if magic != 42:
+            raise ValueError("not a TIFF file")
+        self._bo = bo
+        tags = _read_ifd_file(self._f, bo, ifd_offset)
+
+        self.width = tags[_W][0]
+        self.height = tags[_H][0]
+        bits = tags.get(_BITS, (32,))[0]
+        self._comp = tags.get(_COMP, (1,))[0]
+        fmt = tags.get(_SAMPLE_FORMAT, (1,))[0]
+        self._predictor = tags.get(_PREDICTOR, (1,))[0]
+        spp = tags.get(_SAMPLES_PER_PIXEL, (1,))[0]
+        if spp != 1:
+            raise ValueError(
+                f"only single-band rasters supported, got {spp} bands"
+            )
+        if self._comp not in (1, 8, 32946):
+            raise ValueError(
+                f"unsupported compression {self._comp} (none/deflate only)"
+            )
+        self.dtype = _dtype_for(bits, fmt, bo)
+
+        if _TILE_OFFSETS in tags:
+            self._tiled = True
+            self._tw, self._th = tags[_TILE_W][0], tags[_TILE_H][0]
+            self._offsets = tags[_TILE_OFFSETS]
+            self._counts = tags[_TILE_COUNTS]
+        else:
+            self._tiled = False
+            self._rps = tags.get(_ROWS_PER_STRIP, (self.height,))[0]
+            self._offsets = tags[_STRIP_OFFSETS]
+            self._counts = tags[_STRIP_COUNTS]
+        self.chunks_decoded = 0  # observability: strip/tile decode counter
+
+        scale = tags.get(_PIXEL_SCALE, (1.0, 1.0, 0.0))
+        tie = tags.get(_TIEPOINT, (0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+        sx, sy = float(scale[0]), float(scale[1])
+        x0, y0 = float(tie[3]), float(tie[4])
+        x_coords = x0 + (np.arange(self.width) + 0.5) * sx
+        y_coords = y0 - (np.arange(self.height) + 0.5) * sy
+        crs = "epsg:unknown"
+        if _GEO_KEYS in tags:
+            crs = _epsg_from_geokeys(tags[_GEO_KEYS])
+        self.grid = RasterGrid(y=y_coords, x=x_coords, crs=crs)
+
+    # -- protocol -----------------------------------------------------------
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.height, self.width)
+
+    def close(self):
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __getitem__(self, key) -> np.ndarray:
+        rows, cols = key if isinstance(key, tuple) else (key, slice(None))
+        r0, r1, step = rows.indices(self.height)
+        c0, c1, cstep = cols.indices(self.width)
+        if step != 1 or cstep != 1:
+            raise ValueError("windowed reads support contiguous slices only")
+        return self.read_rows(r0, r1, c0, c1)
+
+    # -- decoding -----------------------------------------------------------
+    def _decode(self, index: int, rows: int, cols: int) -> np.ndarray:
+        self._f.seek(self._offsets[index])
+        chunk = self._f.read(self._counts[index])
+        if self._comp in (8, 32946):
             chunk = zlib.decompress(chunk)
-        arr = np.frombuffer(chunk, dtype=dtype, count=rows * cols)
+        arr = np.frombuffer(chunk, dtype=self.dtype, count=rows * cols)
         arr = arr.reshape(rows, cols)
-        if predictor == 2:
-            arr = np.cumsum(arr.astype(np.int64), axis=1).astype(dtype)
+        if self._predictor == 2:
+            arr = np.cumsum(arr.astype(np.int64), axis=1).astype(self.dtype)
+        self.chunks_decoded += 1
         return arr
 
-    image = np.zeros((height, width), dtype=dtype)
-    if _TILE_OFFSETS in tags:
-        tw, th = tags[_TILE_W][0], tags[_TILE_H][0]
-        offsets = tags[_TILE_OFFSETS]
-        counts = tags[_TILE_COUNTS]
-        tiles_across = -(-width // tw)
-        for idx, (off, cnt) in enumerate(zip(offsets, counts)):
-            ty, tx = divmod(idx, tiles_across)
-            tile = decode(data[off : off + cnt], th, tw)
-            y0, x0 = ty * th, tx * tw
-            image[y0 : y0 + th, x0 : x0 + tw] = tile[
-                : height - y0, : width - x0
-            ]
-    else:
-        rps = tags.get(_ROWS_PER_STRIP, (height,))[0]
-        offsets = tags[_STRIP_OFFSETS]
-        counts = tags[_STRIP_COUNTS]
-        row = 0
-        for off, cnt in zip(offsets, counts):
-            rows = min(rps, height - row)
-            image[row : row + rows] = decode(data[off : off + cnt], rows, width)
-            row += rows
+    def read_rows(
+        self, r0: int, r1: int, c0: int = 0, c1: Optional[int] = None
+    ) -> np.ndarray:
+        """Decode the window ``[r0:r1, c0:c1]`` -> native-dtype ndarray.
 
-    # georeferencing
-    scale = tags.get(_PIXEL_SCALE, (1.0, 1.0, 0.0))
-    tie = tags.get(_TIEPOINT, (0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
-    sx, sy = float(scale[0]), float(scale[1])
-    x0, y0 = float(tie[3]), float(tie[4])
-    x_coords = x0 + (np.arange(width) + 0.5) * sx
-    y_coords = y0 - (np.arange(height) + 0.5) * sy
-    crs = "epsg:unknown"
-    if _GEO_KEYS in tags:
-        crs = _epsg_from_geokeys(tags[_GEO_KEYS])
+        Strip files decode the strips overlapping ``[r0, r1)`` (full width,
+        then column-sliced); tile files decode only tiles intersecting the
+        window in *both* axes.
+        """
+        if c1 is None:
+            c1 = self.width
+        if not (0 <= r0 <= r1 <= self.height and 0 <= c0 <= c1 <= self.width):
+            raise ValueError(f"window [{r0}:{r1}, {c0}:{c1}] out of bounds")
+        out = np.zeros((r1 - r0, c1 - c0), dtype=self.dtype)
+        if r1 == r0 or c1 == c0:
+            return out
+        if self._tiled:
+            tw, th = self._tw, self._th
+            tiles_across = -(-self.width // tw)
+            for ty in range(r0 // th, -(-r1 // th)):
+                for tx in range(c0 // tw, -(-c1 // tw)):
+                    tile = self._decode(ty * tiles_across + tx, th, tw)
+                    y0, x0 = ty * th, tx * tw
+                    ys0, xs0 = max(r0, y0), max(c0, x0)
+                    ys1 = min(r1, y0 + th, self.height)
+                    xs1 = min(c1, x0 + tw, self.width)
+                    out[ys0 - r0 : ys1 - r0, xs0 - c0 : xs1 - c0] = tile[
+                        ys0 - y0 : ys1 - y0, xs0 - x0 : xs1 - x0
+                    ]
+        else:
+            rps = self._rps
+            for s in range(r0 // rps, -(-r1 // rps)):
+                row = s * rps
+                rows = min(rps, self.height - row)
+                strip = self._decode(s, rows, self.width)
+                ys0, ys1 = max(r0, row), min(r1, row + rows)
+                out[ys0 - r0 : ys1 - r0] = strip[ys0 - row : ys1 - row, c0:c1]
+        return out.astype(out.dtype.newbyteorder("="))
 
-    grid = RasterGrid(y=y_coords, x=x_coords, crs=crs)
-    return Raster(
-        data=image.astype(image.dtype.newbyteorder("=")),
-        grid=grid,
-        name=name,
-        units="m",
-    )
+    def to_raster(self) -> Raster:
+        return Raster(
+            data=self.read_rows(0, self.height),
+            grid=self.grid,
+            name=self.name,
+            units=self.units,
+        )
 
 
-def write_geotiff(raster: Raster, path, compress: bool = True) -> None:
-    """Write a single-band float32 GeoTIFF (deflate strips, EPSG geokeys).
+def read_geotiff(path, name: str = "DEM") -> Raster:
+    """Read a single-band GeoTIFF into a :class:`Raster` (full window of
+    :class:`GeoTiffWindowReader`)."""
+    with GeoTiffWindowReader(path, name) as reader:
+        return reader.to_raster()
+
+
+def write_geotiff(
+    raster: Raster,
+    path,
+    compress: bool = True,
+    rows_per_strip: Optional[int] = None,
+    tile: Optional[Tuple[int, int]] = None,
+) -> None:
+    """Write a single-band float32 GeoTIFF (deflate, EPSG geokeys).
 
     Requires a uniformly spaced grid (GeoTIFF's affine model); coordinates
     are written back from the pixel-centre convention.
+
+    ``rows_per_strip`` selects a multi-strip layout and ``tile=(th, tw)`` a
+    tiled layout (tile dims must be multiples of 16 per the TIFF spec) —
+    both make the file window-addressable for
+    :class:`GeoTiffWindowReader`, which then reads only the chunks a
+    window intersects. Default remains one whole-image strip.
     """
     data = np.asarray(raster.data, dtype=np.float32)
     h, w = data.shape
@@ -192,9 +301,25 @@ def write_geotiff(raster: Raster, path, compress: bool = True) -> None:
             epsg = int(tail)
     is_geographic = epsg == 4326
 
-    payload = data.tobytes()
-    if compress:
-        payload = zlib.compress(payload, 6)
+    def pack(chunk: np.ndarray) -> bytes:
+        raw = np.ascontiguousarray(chunk).tobytes()
+        return zlib.compress(raw, 6) if compress else raw
+
+    if tile is not None:
+        th, tw = int(tile[0]), int(tile[1])
+        if th % 16 or tw % 16:
+            raise ValueError("TIFF tile dims must be multiples of 16")
+        chunks = []
+        for ty in range(0, h, th):
+            for tx in range(0, w, tw):
+                # edge tiles are zero-padded to full tile size (TIFF spec)
+                full = np.zeros((th, tw), dtype=np.float32)
+                block = data[ty : ty + th, tx : tx + tw]
+                full[: block.shape[0], : block.shape[1]] = block
+                chunks.append(pack(full))
+    else:
+        rps = int(rows_per_strip) if rows_per_strip else h
+        chunks = [pack(data[r : r + rps]) for r in range(0, h, rps)]
 
     bo = "<"
     header = struct.pack(bo + "2sHI", b"II", 42, 8)
@@ -209,15 +334,23 @@ def write_geotiff(raster: Raster, path, compress: bool = True) -> None:
     geo_keys = [1, 1, 0, 2,  # version, rev, minor, number of keys
                 1024, 0, 1, 2 if is_geographic else 1,  # model type
                 2048 if is_geographic else 3072, 0, 1, epsg]
+    n_chunks = len(chunks)
+    counts = tuple(len(c) for c in chunks)
     entry(_W, 4, (w,), "I")
     entry(_H, 4, (h,), "I")
     entry(_BITS, 3, (32,), "H")
     entry(_COMP, 3, (8 if compress else 1,), "H")
     entry(_PHOTO, 3, (1,), "H")
-    entry(_STRIP_OFFSETS, 4, (0,), "I")  # patched below
     entry(_SAMPLES_PER_PIXEL, 3, (1,), "H")
-    entry(_ROWS_PER_STRIP, 4, (h,), "I")
-    entry(_STRIP_COUNTS, 4, (len(payload),), "I")
+    if tile is not None:
+        entry(_TILE_W, 4, (tw,), "I")
+        entry(_TILE_H, 4, (th,), "I")
+        offsets_tag, counts_tag = _TILE_OFFSETS, _TILE_COUNTS
+    else:
+        entry(_ROWS_PER_STRIP, 4, (rps,), "I")
+        offsets_tag, counts_tag = _STRIP_OFFSETS, _STRIP_COUNTS
+    entry(offsets_tag, 4, (0,) * n_chunks, "I")  # rewritten once laid out
+    entry(counts_tag, 4, counts, "I")
     entry(_SAMPLE_FORMAT, 3, (3,), "H")
     entry(_PIXEL_SCALE, 12, (sx, sy, 0.0), "d")
     entry(_TIEPOINT, 12, (0.0, 0.0, 0.0, x0, y0, 0.0), "d")
@@ -226,24 +359,35 @@ def write_geotiff(raster: Raster, path, compress: bool = True) -> None:
     entries.sort(key=lambda e: e[0])
     ifd_offset = 8
     ifd_size = 2 + len(entries) * 12 + 4
-    extra_offset = ifd_offset + ifd_size
-    extra = b""
-    packed = []
-    strip_offset_pos = None
-    for tag, typ, values, fmt in entries:
-        raw = struct.pack(bo + fmt * len(values), *values)
-        if len(raw) <= 4:
-            value_field = raw.ljust(4, b"\0")
-        else:
-            value_field = struct.pack(bo + "I", extra_offset + len(extra))
-            extra += raw
-        packed.append((tag, typ, len(values), value_field))
-        if tag == _STRIP_OFFSETS:
-            strip_offset_pos = len(packed) - 1
 
-    data_offset = extra_offset + len(extra)
-    tag, typ, cnt, _ = packed[strip_offset_pos]
-    packed[strip_offset_pos] = (tag, typ, cnt, struct.pack(bo + "I", data_offset))
+    def layout(entry_list):
+        """Pack the IFD + out-of-line value area for a fixed entry list."""
+        extra_offset = ifd_offset + ifd_size
+        extra = b""
+        packed = []
+        for tag, typ, values, fmt in entry_list:
+            raw = struct.pack(bo + fmt * len(values), *values)
+            if len(raw) <= 4:
+                value_field = raw.ljust(4, b"\0")
+            else:
+                value_field = struct.pack(bo + "I", extra_offset + len(extra))
+                extra += raw
+            packed.append((tag, typ, len(values), value_field))
+        return packed, extra
+
+    # first pass fixes the byte layout (sizes don't depend on the offset
+    # values), second pass writes the true chunk offsets
+    _, extra = layout(entries)
+    data_offset = ifd_offset + ifd_size + len(extra)
+    chunk_offsets, pos = [], data_offset
+    for c in counts:
+        chunk_offsets.append(pos)
+        pos += c
+    entries = [
+        (tag, typ, tuple(chunk_offsets) if tag == offsets_tag else values, fmt)
+        for tag, typ, values, fmt in entries
+    ]
+    packed, extra = layout(entries)
 
     out = bytearray(header)
     out += struct.pack(bo + "H", len(packed))
@@ -251,5 +395,6 @@ def write_geotiff(raster: Raster, path, compress: bool = True) -> None:
         out += struct.pack(bo + "HHI", tag, typ, cnt) + value_field
     out += struct.pack(bo + "I", 0)  # next IFD
     out += extra
-    out += payload
+    for c in chunks:
+        out += c
     Path(path).write_bytes(bytes(out))
