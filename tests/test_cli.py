@@ -77,3 +77,34 @@ def test_cli_sharded_and_tiled_conflict(tmp_path):
     with pytest.raises(SystemExit):
         main(["--synthetic", "32x32", "--sharded", "--tiled", "8",
               "--outdir", str(tmp_path)])
+
+
+def test_cli_stream_runs(tmp_path):
+    from topo_descriptors_tpu.io import basodino_like_dem, write_raster
+
+    dem_path = tmp_path / "dem.nc"
+    write_raster(basodino_like_dem(ny=64, nx=64, projected=True), dem_path)
+    rc = main(
+        [
+            "--dem", str(dem_path),
+            "--descriptors", "tpi", "gradient", "sx",
+            "--scales", "300",
+            "--sx-azimuths", "0", "180",
+            "--sx-radius", "200",
+            "--outdir", str(tmp_path),
+            "--stream", "16",
+        ]
+    )
+    assert rc == 0
+    assert (tmp_path / "topo_TPI_300M.nc").exists()
+    assert (tmp_path / "topo_SLOPE_300M_SIGRATIO1.nc").exists()
+    sx0 = read_raster(tmp_path / "topo_SX_RADIUS200_AZIMUTH0.nc")
+    assert np.isfinite(sx0.data).all()
+
+
+def test_cli_stream_requires_dem(tmp_path):
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["--synthetic", "32x32", "--stream", "8",
+              "--outdir", str(tmp_path)])

@@ -82,9 +82,71 @@ def build_parser() -> argparse.ArgumentParser:
         metavar="ROWS",
         help="stream the DEM out-of-core in row bands of this height",
     )
+    p.add_argument(
+        "--stream",
+        type=int,
+        metavar="ROWS",
+        help="fully out-of-core: windowed ingest straight from --dem "
+        "(GeoTIFF strips/tiles or NetCDF hyperslabs), banded compute, and "
+        "band-streamed NetCDF output — host RAM stays at one band "
+        "regardless of grid size (requires --dem; --crop unsupported)",
+    )
     p.add_argument("--mesh", nargs=2, type=int, default=None, metavar=("GY", "GX"))
     p.add_argument("-v", "--verbose", action="store_true")
     return p
+
+
+def _main_streamed(args) -> int:
+    """Fully out-of-core battery: disk -> banded device compute -> disk."""
+    from topo_descriptors_tpu import streaming
+
+    if args.dem is None:
+        raise SystemExit("--stream requires --dem (a file to read windowed)")
+    if args.sharded or args.tiled:
+        raise SystemExit("--stream already implies banded execution; drop "
+                         "--sharded/--tiled")
+    if args.crop_x or args.crop_y:
+        raise SystemExit("--crop is not supported with --stream (crop the "
+                         "streamed outputs afterwards)")
+
+    args.scales = [int(s) if float(s).is_integer() else s for s in args.scales]
+    args.outdir.mkdir(parents=True, exist_ok=True)
+    common = dict(outdir=args.outdir, tile_rows=args.stream,
+                  skip_existing=args.skip_existing)
+    sig_ratios = args.sig_ratios * len(args.scales) \
+        if len(args.sig_ratios) == 1 else args.sig_ratios
+
+    with streaming.open_dem(args.dem) as dem:
+        logger.info(f"streaming DEM {dem.shape}, crs {dem.grid.crs}, "
+                    f"bands of {args.stream} rows")
+        written = []
+        for name in args.descriptors:
+            if name == "dem":
+                written += streaming.compute_dem(dem, args.scales, **common)
+            elif name == "tpi":
+                written += streaming.compute_tpi(
+                    dem, args.scales, smth_factors=args.smth_factors, **common
+                )
+            elif name == "std":
+                written += streaming.compute_std(
+                    dem, args.scales, smth_factors=args.smth_factors, **common
+                )
+            elif name == "gradient":
+                written += streaming.compute_gradient(
+                    dem, args.scales, sig_ratios=sig_ratios, **common
+                )
+            elif name in ("valley", "ridge"):
+                written += streaming.compute_valley_ridge(
+                    dem, args.scales, mode=name, flat_list=args.flat_list,
+                    smth_factors=args.smth_factors, **common
+                )
+            elif name == "sx":
+                written += streaming.compute_sx(
+                    dem, args.sx_azimuths, args.sx_radius,
+                    height=args.sx_height, **common
+                )
+    logger.info(f"wrote {len(written)} files to {args.outdir}")
+    return 0
 
 
 def main(argv=None) -> int:
@@ -97,6 +159,9 @@ def main(argv=None) -> int:
     from topo_descriptors_tpu import pipeline
     from topo_descriptors_tpu.grid import fill_na
     from topo_descriptors_tpu.io import basodino_like_dem, get_dem_netcdf
+
+    if args.stream:
+        return _main_streamed(args)
 
     if args.synthetic:
         ny, nx = (int(v) for v in args.synthetic.lower().split("x"))

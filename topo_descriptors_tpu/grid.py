@@ -177,9 +177,16 @@ def check_dem(dem: Raster) -> None:
     Mirrors reference helpers.py:171-188: 2-D ('y','x') field with an EPSG
     CRS. Type/CRS violations raise :class:`GridError`.
     """
-    if not isinstance(dem, Raster):
-        raise GridError("dem must be a topo_descriptors_tpu.grid.Raster")
-    if dem.data.ndim != 2:
+    lazy = hasattr(dem, "read_rows") and isinstance(
+        getattr(dem, "grid", None), RasterGrid
+    )
+    if not isinstance(dem, Raster) and not lazy:
+        raise GridError(
+            "dem must be a topo_descriptors_tpu.grid.Raster or a window "
+            "reader (read_rows + RasterGrid)"
+        )
+    ndim = getattr(dem, "ndim", 2) if lazy else dem.data.ndim
+    if ndim != 2:
         raise GridError("dem dimensions must be ('y', 'x')")
     # RasterGrid.__post_init__ already enforces the epsg: contract, but the
     # attrs dict may carry a stale override — check the live value.
@@ -199,12 +206,20 @@ def fill_na(dem: Raster):
     """
     data = np.asarray(dem.data, dtype=np.float32)
     ind_nans = np.where(np.isnan(data))
-    filled = data.copy()
-    # interpolation runs in x-*coordinate* space (xarray uses the coord as the
-    # interpolation variable), with scipy interp1d 'nearest' tie-breaking:
-    # a point exactly on a midpoint takes the left neighbour.
-    xc = np.asarray(dem.grid.x, dtype=np.float64)
-    for j in np.unique(ind_nans[0]):
+    filled = fill_na_block(data.copy(), np.asarray(dem.grid.x, np.float64))
+    return ind_nans, dem.with_data(filled)
+
+
+def fill_na_block(filled: np.ndarray, xc: np.ndarray) -> np.ndarray:
+    """Nearest-in-x NaN fill of a block of rows, in place.
+
+    Rows are independent (the reference interpolates along x only,
+    helpers.py:148-151), which is what makes the fill streamable band by
+    band. Interpolation runs in x-*coordinate* space (xarray uses the coord
+    as the interpolation variable), with scipy interp1d 'nearest'
+    tie-breaking: a point exactly on a midpoint takes the left neighbour.
+    """
+    for j in np.unique(np.where(np.isnan(filled))[0]):
         row = filled[j]
         good = ~np.isnan(row)
         if not good.any():
@@ -222,4 +237,4 @@ def fill_na(dem: Raster):
         else:
             chosen = np.searchsorted(midpoints, xc, side="left")
         filled[j] = good_v[chosen]
-    return ind_nans, dem.with_data(filled)
+    return filled

@@ -6,9 +6,21 @@ directly through h5py using HDF5 dimension scales — files it writes are
 readable by netCDF4/xarray installations and vice versa.
 """
 
-from topo_descriptors_tpu.io.netcdf import get_dem_netcdf, read_raster, to_netcdf, write_raster
+from topo_descriptors_tpu.io.netcdf import (
+    NetCDFWindowReader,
+    RasterBandWriter,
+    get_dem_netcdf,
+    read_raster,
+    to_netcdf,
+    write_raster,
+)
 from topo_descriptors_tpu.io.synthetic import synthetic_dem, basodino_like_dem
-from topo_descriptors_tpu.io.geotiff import read_geotiff, write_geotiff
+from topo_descriptors_tpu.io.geotiff import (
+    GeoTiffWindowReader,
+    read_geotiff,
+    write_geotiff,
+)
+from topo_descriptors_tpu.io.windowed import DemWindowReader, open_dem_window
 
 __all__ = [
     "get_dem_netcdf",
@@ -19,4 +31,9 @@ __all__ = [
     "basodino_like_dem",
     "read_geotiff",
     "write_geotiff",
+    "GeoTiffWindowReader",
+    "NetCDFWindowReader",
+    "RasterBandWriter",
+    "DemWindowReader",
+    "open_dem_window",
 ]

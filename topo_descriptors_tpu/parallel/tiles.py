@@ -39,7 +39,18 @@ logger = logging.getLogger(__name__)
 
 
 class TiledRunner:
-    """Banded out-of-core execution of descriptor ops on one device."""
+    """Banded out-of-core execution of descriptor ops on one device.
+
+    ``dem`` may be a host ndarray or any *window reader* (an object with
+    ``.shape`` and contiguous row slicing — e.g.
+    :class:`~topo_descriptors_tpu.io.windowed.DemWindowReader`), in which
+    case only one halo-extended band is ever resident. Every op takes an
+    optional ``sink(start_row, band)`` callback; when given, bands are
+    handed over as they finish (e.g. to a
+    :class:`~topo_descriptors_tpu.io.netcdf.RasterBandWriter`) instead of
+    being stitched into a full in-RAM output, bounding host memory at one
+    band for arbitrarily large grids.
+    """
 
     def __init__(self, tile_rows: int = 4096):
         self.tile_rows = int(tile_rows)
@@ -53,8 +64,8 @@ class TiledRunner:
             win_hi = min(n_rows, stop + halo_hi)
             yield start, stop, win_lo, win_hi
 
-    def _run(self, dem: np.ndarray, halo: Tuple[int, int], fn) -> np.ndarray:
-        """Apply ``fn(window, rows_slice)`` per band and stitch the output.
+    def _run(self, dem, halo: Tuple[int, int], fn, sink=None):
+        """Apply ``fn(window, rows_slice)`` per band; stitch or sink.
 
         ``fn`` receives the halo-extended window and the slice selecting the
         band's rows within the window; it returns the band's output rows.
@@ -66,6 +77,9 @@ class TiledRunner:
             window = jnp.asarray(dem[win_lo:win_hi])
             rows = slice(start - win_lo, stop - win_lo)
             band_out = np.asarray(fn(window, rows))
+            if sink is not None:
+                sink(start, band_out)
+                continue
             if out is None:
                 out_shape = (n_rows,) + band_out.shape[1:]
                 out = np.empty(out_shape, dtype=band_out.dtype)
@@ -73,8 +87,63 @@ class TiledRunner:
             del band_out
         return out
 
+    # -- streaming global statistics ----------------------------------------
+    def _center(self, dem) -> float:
+        """round(nanmean) of the full field (TPI/STD centring constant).
+
+        ndarrays use the one-shot float64 nanmean; window readers stream
+        band-wise float64 partial sums (same result up to float64
+        summation-order rounding, far below the centring granularity of 1).
+        """
+        if isinstance(dem, np.ndarray):
+            return float(np.round(np.nanmean(dem, dtype=np.float64)))
+        total, count = 0.0, 0
+        n_rows = dem.shape[0]
+        for start in range(0, n_rows, self.tile_rows):
+            block = np.asarray(dem[start : min(start + self.tile_rows, n_rows)])
+            total += float(np.nansum(block, dtype=np.float64))
+            count += int(np.count_nonzero(~np.isnan(block)))
+        return float(np.round(total / count))
+
+    def _field_stats(self, dem, sigma) -> Tuple[float, float]:
+        """float64 (mean, std) of the optionally-smoothed field.
+
+        The reference standardizes the *smoothed* DEM globally
+        (topo.py:427-429). For window readers the smoothing runs banded with
+        a halo of the Gaussian tap radius, so interior rows match the
+        full-field filter bit-exactly; sums are shifted by the first pixel
+        value to keep the one-pass variance well-conditioned.
+        """
+        from scipy import ndimage  # host-side stats pass only
+
+        if isinstance(dem, np.ndarray):
+            field = dem
+            if sigma:
+                field = ndimage.gaussian_filter(dem.astype(np.float32), sigma)
+            mean = float(np.mean(field, dtype=np.float64))
+            var = float(np.mean((field.astype(np.float64) - mean) ** 2))
+            return mean, float(np.sqrt(var))
+        r = gaussian_radius(sigma) if sigma else 0
+        s = s2 = 0.0
+        n = 0
+        shift = None
+        for start, stop, win_lo, win_hi in self._bands(dem.shape[0], r, r):
+            window = np.asarray(dem[win_lo:win_hi]).astype(np.float32)
+            if sigma:
+                window = ndimage.gaussian_filter(window, sigma)
+            rows = window[start - win_lo : stop - win_lo].astype(np.float64)
+            if shift is None:
+                shift = float(rows.flat[0])
+            rows -= shift
+            s += float(rows.sum())
+            s2 += float((rows * rows).sum())
+            n += rows.size
+        mean_c = s / n
+        var = max(s2 / n - mean_c * mean_c, 0.0)
+        return mean_c + shift, float(np.sqrt(var))
+
     # -- descriptors -------------------------------------------------------
-    def gaussian(self, dem: np.ndarray, sigma, truncate: float = 4.0):
+    def gaussian(self, dem, sigma, truncate: float = 4.0, sink=None):
         """Banded scipy-parity Gaussian (reference dem op, topo.py:62-80)."""
         sig_y = sigma if np.isscalar(sigma) else sigma[0]
         r = gaussian_radius(sig_y, truncate) if sig_y else 0
@@ -82,38 +151,44 @@ class TiledRunner:
         def fn(window, rows):
             return ops.gaussian_filter(window, sigma, truncate)[rows]
 
-        return self._run(dem, (r, r), fn)
+        return self._run(dem, (r, r), fn, sink)
 
-    def tpi(self, dem: np.ndarray, size: int, sigma: Optional[float] = None):
+    def tpi(self, dem, size: int, sigma: Optional[float] = None, sink=None):
         """Banded TPI (reference topo.py:145-181)."""
         r_smooth = gaussian_radius(sigma) if sigma else 0
         halo = size // 2 + r_smooth
-        center = float(np.round(np.nanmean(dem, dtype=np.float64)))
+        center = self._center(dem)
 
         def fn(window, rows):
             return ops.tpi(window, size, sigma, center=center)[rows]
 
-        return self._run(dem, (halo, halo), fn)
+        return self._run(dem, (halo, halo), fn, sink)
 
-    def std(self, dem: np.ndarray, size: int, sigma: Optional[float] = None):
+    def std(self, dem, size: int, sigma: Optional[float] = None, sink=None):
         """Banded rolling STD (reference topo.py:272-307)."""
         r_smooth = gaussian_radius(sigma) if sigma else 0
         halo = size // 2 + r_smooth
-        center = float(np.round(np.nanmean(dem, dtype=np.float64)))
+        center = self._center(dem)
 
         def fn(window, rows):
             return ops.std(window, size, sigma, center=center)[rows]
 
-        return self._run(dem, (halo, halo), fn)
+        return self._run(dem, (halo, halo), fn, sink)
 
     def gradient(
         self,
-        dem: np.ndarray,
+        dem,
         sigma: float,
         res_meters: Dict[str, np.ndarray],
         sig_ratio: float = 1.0,
-    ) -> List[np.ndarray]:
-        """Banded gradient/slope/aspect (reference topo.py:597-644)."""
+        sinks=None,
+    ) -> Optional[List[np.ndarray]]:
+        """Banded gradient/slope/aspect (reference topo.py:597-644).
+
+        With ``sinks`` (4 callbacks: dx, dy, slope, aspect) all four outputs
+        of a band are computed in one device call and fanned out, so the
+        window is shipped once per band instead of once per output.
+        """
         if sigma <= 1:
             halo = 1
         else:
@@ -122,12 +197,27 @@ class TiledRunner:
         x_res = np.asarray(res_meters["x"])
         y_res = np.asarray(res_meters["y"])
 
+        def res_for(win_lo, win_hi):
+            return {
+                "x": x_res if x_res.ndim == 1 else x_res[win_lo:win_hi],
+                "y": y_res[win_lo:win_hi],
+            }
+
+        if sinks is not None:
+            n_rows = dem.shape[0]
+            for start, stop, win_lo, win_hi in self._bands(n_rows, halo, halo):
+                window = jnp.asarray(dem[win_lo:win_hi])
+                rows = slice(start - win_lo, stop - win_lo)
+                outs = ops.gradient(
+                    window, sigma, res_for(win_lo, win_hi), sig_ratio
+                )
+                for sink, band in zip(sinks, outs):
+                    sink(start, np.asarray(band[rows]))
+            return None
+
         def fn_for(idx):
             def fn(window, rows, win_lo, win_hi):
-                res_w = {
-                    "x": x_res if x_res.ndim == 1 else x_res[win_lo:win_hi],
-                    "y": y_res[win_lo:win_hi],
-                }
+                res_w = res_for(win_lo, win_hi)
                 return ops.gradient(window, sigma, res_w, sig_ratio)[idx][rows]
 
             return fn
@@ -152,102 +242,128 @@ class TiledRunner:
 
     def valley_ridge(
         self,
-        dem: np.ndarray,
+        dem,
         size: int,
         mode: str,
         flat_list: Sequence[float] = (0, 0.15, 0.3),
         sigma: Optional[float] = None,
-    ) -> List[np.ndarray]:
+        sinks=None,
+    ) -> Optional[List[np.ndarray]]:
         """Banded valley/ridge (reference topo.py:389-453). Global
-        standardization stats come from a host-side float64 pass; note the
-        reference standardizes the *smoothed* field (topo.py:427-429), so
-        with sigma the stats pass smooths host-side first."""
+        standardization stats come from a host-side float64 pass (streamed
+        band-wise for window readers); note the reference standardizes the
+        *smoothed* field (topo.py:427-429), so with sigma the stats pass
+        smooths first. With ``sinks`` (norm, dir) both outputs of a band
+        come from one device call."""
         bank = prepare_valley_bank(size, mode, tuple(flat_list))
         ky = bank.shape[2]
         r_smooth = gaussian_radius(sigma) if sigma else 0
         halo = ky // 2 + 1 + r_smooth
+        stats = self._field_stats(dem, sigma)
 
-        field = dem
-        if sigma:
-            from scipy import ndimage  # host-side stats pass only
+        def both(window):
+            return ops.valley_ridge(
+                window, size, mode, list(flat_list), sigma, bank=bank,
+                stats=stats,
+            )
 
-            field = ndimage.gaussian_filter(dem.astype(np.float32), sigma)
-        mean = float(np.mean(field, dtype=np.float64))
-        # np.std semantics (ddof=0) in float64
-        var = float(np.mean((field.astype(np.float64) - mean) ** 2))
-        stats = (mean, float(np.sqrt(var)))
+        if sinks is not None:
+            n_rows = dem.shape[0]
+            for start, stop, win_lo, win_hi in self._bands(n_rows, halo, halo):
+                window = jnp.asarray(dem[win_lo:win_hi])
+                rows = slice(start - win_lo, stop - win_lo)
+                norm, direction = both(window)
+                sinks[0](start, np.asarray(norm[rows]))
+                sinks[1](start, np.asarray(direction[rows]))
+            return None
 
         def fn_norm(window, rows):
-            return ops.valley_ridge(
-                window, size, mode, list(flat_list), sigma, bank=bank,
-                stats=stats,
-            )[0][rows]
+            return both(window)[0][rows]
 
         def fn_dir(window, rows):
-            return ops.valley_ridge(
-                window, size, mode, list(flat_list), sigma, bank=bank,
-                stats=stats,
-            )[1][rows]
+            return both(window)[1][rows]
 
         return [
             self._run(dem, (halo, halo), fn_norm),
             self._run(dem, (halo, halo), fn_dir),
         ]
 
+    @staticmethod
+    def _zero_global_border(band, start, n_rows, b):
+        """Apply the global-frame zero border (reference loop bounds
+        topo.py:940-941) to one band in place: rows by their global index,
+        the left/right columns always."""
+        h = band.shape[-2]
+        lo = min(max(b - start, 0), h)
+        band[..., :lo, :] = 0.0
+        hi = min(max(start + h - (n_rows - b), 0), h)
+        if hi:
+            band[..., h - hi :, :] = 0.0
+        band[..., :, :b] = 0.0
+        band[..., :, band.shape[-1] - b :] = 0.0
+        return band
+
     def sx(
         self,
-        dem: np.ndarray,
+        dem,
         offsets: np.ndarray,
         distances: np.ndarray,
         border: int,
         height: float = 10.0,
-    ) -> np.ndarray:
+        sink=None,
+    ) -> Optional[np.ndarray]:
         """Banded Sx (reference topo.py:928-953). The zero border belongs to
         the *global* frame, so the per-window border mask is disabled and
-        applied once at the end."""
+        re-applied per band at global coordinates."""
         b = int(border)
+        n_rows = dem.shape[0]
 
         def fn(window, rows):
             return ops.sx(
                 window, offsets, distances, border, height, zero_border=False
             )[rows]
 
+        def zeroing_sink(start, band):
+            # np.asarray of a jax.Array is read-only; copy before zeroing
+            sink(start, self._zero_global_border(np.array(band), start,
+                                                 n_rows, b))
+
+        if sink is not None:
+            self._run(dem, (b, b), fn, zeroing_sink)
+            return None
         out = self._run(dem, (b, b), fn)
-        h, w = out.shape
-        out[:b, :] = 0.0
-        out[h - b :, :] = 0.0
-        out[:, :b] = 0.0
-        out[:, w - b :] = 0.0
-        return out
+        return self._zero_global_border(out, 0, n_rows, b)
 
     def sx_sweep(
         self,
-        dem: np.ndarray,
+        dem,
         offsets: np.ndarray,
         distances: np.ndarray,
         border: int,
         height: float = 10.0,
-    ) -> np.ndarray:
+        sink=None,
+    ) -> Optional[np.ndarray]:
         """Banded Sx azimuth sweep -> (A, H, W): each band's halo window is
         shipped to the device once and every azimuth of the fan reduces over
         it (the per-azimuth analog re-ships the window A times). The zero
-        border belongs to the *global* frame, applied once at the end."""
+        border belongs to the *global* frame, applied per band at global
+        coordinates. ``sink(start, band)`` receives (A, rows, W) bands."""
         b = int(border)
         n_rows, w = dem.shape
         out = None
         for start, stop, win_lo, win_hi in self._bands(n_rows, b, b):
             window = jnp.asarray(dem[win_lo:win_hi])
             rows = slice(start - win_lo, stop - win_lo)
-            band = np.asarray(
+            band = np.array(
                 ops.sx_sweep(window, offsets, distances, border, height,
                              zero_border=False)
             )[:, rows]
+            self._zero_global_border(band, start, n_rows, b)
+            if sink is not None:
+                sink(start, band)
+                continue
             if out is None:
                 out = np.empty((band.shape[0], n_rows, w), band.dtype)
             out[:, start:stop] = band
             del band
-        out[:, :b, :] = 0.0
-        out[:, n_rows - b :, :] = 0.0
-        out[:, :, :b] = 0.0
-        out[:, :, w - b :] = 0.0
         return out
