@@ -31,22 +31,28 @@ def rng():
     return np.random.default_rng(42)
 
 
+# NOTE: each DEM fixture owns its rng. A shared session rng would make the
+# fixture contents depend on *which tests run* (fixture creation order
+# advances the stream), turning marginal tolerance tests flaky under
+# subset selection (pytest tests/test_x.py vs the full suite).
+
+
 @pytest.fixture(scope="session")
-def dem_small(rng):
+def dem_small():
     """A smooth synthetic DEM, float32, Alpine-like value range."""
     from scipy import ndimage
 
-    noise = rng.standard_normal((72, 96))
+    noise = np.random.default_rng(42).standard_normal((72, 96))
     smooth = ndimage.gaussian_filter(noise, 6.0)
     dem = 1500.0 + 900.0 * smooth / np.abs(smooth).max()
     return dem.astype(np.float32)
 
 
 @pytest.fixture(scope="session")
-def dem_tiny(rng):
+def dem_tiny():
     from scipy import ndimage
 
-    noise = rng.standard_normal((40, 48))
+    noise = np.random.default_rng(43).standard_normal((40, 48))
     smooth = ndimage.gaussian_filter(noise, 4.0)
     dem = 1200.0 + 700.0 * smooth / np.abs(smooth).max()
     return dem.astype(np.float32)

@@ -33,40 +33,89 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _tree_fmax(vals):
+    """Balanced fmax reduction — log2(n) depth exposes VPU ILP that a
+    serial fold hides (the serial chain is one long dependency)."""
+    while len(vals) > 1:
+        nxt = [
+            jnp.fmax(vals[k], vals[k + 1])
+            for k in range(0, len(vals) - 1, 2)
+        ]
+        if len(vals) % 2:
+            nxt.append(vals[-1])
+        vals = nxt
+    return vals[0]
+
+
 def _sx_kernel(
     dem_ref,  # padded DEM, stays in HBM/ANY
     out_ref,  # (BY, BX) VMEM output block: max ratio
-    scratch,  # (BY+2b, BX+2b) VMEM halo window
-    sem,  # DMA semaphore
+    scratch,  # (2, wy, wx) VMEM halo windows (double-buffered)
+    sem,  # (2,) DMA semaphores
     *,
     border: int,
     block: tuple,
     window_shape: tuple,  # tile-aligned (wy, wx) >= (by+2b, bx+2b)
-    offset_table: tuple,  # static ((oy, ox, inv_dist), ...) per ray pixel
+    dist_table: tuple,  # static ((inv_dist, ((oy, ox), ...)), ...) groups
     height: float,
+    grid: tuple,
+    n_acc: int,
 ):
+    """Block-resident Sx, three VPU-level optimizations over the naive
+    ``acc = fmax(acc, (shift_k - base) * inv_k)`` loop (together ~3x,
+    measured 10.8 -> 3.4 ms at 4096^2 / K=240):
+
+    * **distance grouping** — rays are grouped host-side by identical
+      1/distance; within a group ``max_k (s_k - base) * inv == (max_k s_k
+      - base) * inv`` (inv > 0; the inv=inf distance-0 quirk also commutes
+      because a 0 * inf NaN is exactly the candidate fmax drops), so the
+      subtract/multiply runs once per *group* instead of once per *ray*:
+      ~3 ops/ray -> ~1 ops/ray + 3/group;
+    * **multi-accumulator ILP** — ``n_acc`` independent running maxima
+      break the serial fmax dependency chain across groups;
+    * **double-buffered DMA** — each program prefetches the *next* block's
+      halo window into the alternate buffer before reducing its own, hiding
+      the HBM read behind ~K VPU passes over VMEM.
+    """
     by, bx = block
+    gy, gx = grid
+    wy, wx = window_shape
     i = pl.program_id(0)
     j = pl.program_id(1)
+    linear = i * gx + j
+    slot = jax.lax.rem(linear, 2)
 
-    wy, wx = window_shape
-    copy = pltpu.make_async_copy(
-        dem_ref.at[pl.ds(i * by, wy), pl.ds(j * bx, wx)],
-        scratch,
-        sem,
+    def copy_for(lin, s):
+        bi = lin // gx
+        bj = jax.lax.rem(lin, gx)
+        return pltpu.make_async_copy(
+            dem_ref.at[pl.ds(bi * by, wy), pl.ds(bj * bx, wx)],
+            scratch.at[s],
+            sem.at[s],
+        )
+
+    @pl.when(linear == 0)
+    def _first():
+        copy_for(linear, slot).start()
+
+    @pl.when(linear + 1 < gy * gx)
+    def _prefetch_next():
+        copy_for(linear + 1, 1 - slot).start()
+
+    copy_for(linear, slot).wait()
+    window = scratch[slot]
+
+    base = window[border : border + by, border : border + bx] + jnp.float32(
+        height
     )
-    copy.start()
-    copy.wait()
-
-    window = scratch[:]
-    center = window[border : border + by, border : border + bx]
-    base = center + jnp.float32(height)
-
-    acc = jnp.full((by, bx), -jnp.inf, jnp.float32)
-    for oy, ox, inv in offset_table:
-        shifted = window[oy : oy + by, ox : ox + bx]
-        acc = jnp.fmax(acc, (shifted - base) * jnp.float32(inv))
-    out_ref[:] = acc
+    accs = [jnp.full((by, bx), -jnp.inf, jnp.float32) for _ in range(n_acc)]
+    for gi, (inv, group) in enumerate(dist_table):
+        best = _tree_fmax(
+            [window[oy : oy + by, ox : ox + bx] for oy, ox in group]
+        )
+        k = gi % n_acc
+        accs[k] = jnp.fmax(accs[k], (best - base) * jnp.float32(inv))
+    out_ref[:] = _tree_fmax(accs)
 
 
 def _sx_sweep_kernel(
@@ -255,8 +304,9 @@ def sx_pallas(
     distances: np.ndarray,
     border: int,
     height: float = 10.0,
-    block: tuple = (256, 256),
+    block: tuple = (256, 512),
     zero_border: bool = True,
+    n_acc: int = 4,
 ) -> jax.Array:
     """Drop-in replacement for :func:`ops.sx` backed by the Pallas kernel."""
     h, w = dem.shape
@@ -285,9 +335,13 @@ def sx_pallas(
     offsets = np.asarray(offsets)
     with np.errstate(divide="ignore"):  # distance-0 quirk (see ops.sx)
         inv = (1.0 / np.asarray(distances)).astype(np.float32)
-    offset_table = tuple(
-        (int(oy) + b, int(ox) + b, float(iv))
-        for (oy, ox), iv in zip(offsets, inv)
+    # group rays by identical 1/distance (see kernel docstring); sorted for
+    # a deterministic table -> stable jit cache keys
+    groups: dict = {}
+    for (oy, ox), iv in zip(offsets, inv):
+        groups.setdefault(float(iv), []).append((int(oy) + b, int(ox) + b))
+    dist_table = tuple(
+        (iv, tuple(g)) for iv, g in sorted(groups.items())
     )
 
     kernel = functools.partial(
@@ -295,8 +349,10 @@ def sx_pallas(
         border=b,
         block=(by, bx),
         window_shape=(wy, wx),
-        offset_table=offset_table,
+        dist_table=dist_table,
         height=float(height),
+        grid=(gy, gx),
+        n_acc=min(int(n_acc), len(dist_table)),
     )
     out = pl.pallas_call(
         kernel,
@@ -306,11 +362,14 @@ def sx_pallas(
             (by, bx), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((wy, wx), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, wy, wx), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         out_shape=jax.ShapeDtypeStruct((gy * by, gx * bx), jnp.float32),
         compiler_params=pltpu.CompilerParams(
+            # the double-buffered prefetch assumes strictly sequential
+            # grid order
+            dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(padded)
