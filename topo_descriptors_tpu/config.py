@@ -51,6 +51,15 @@ class Config:
     # valley/ridge row-channel MXU conv: largest row-stack (KY copies of the
     # field) to keep in HBM before switching to the FFT formulation.
     rowchan_max_bytes: int = 1536 * 1024 * 1024
+    # valley/ridge: largest precomputed rotated-kernel bank to bake into the
+    # device program as one static constant. Beyond this (the reference's own
+    # 20-100 km example scales reach 17-48 GB) the angle loop streams
+    # host-rotated chunks through a fixed-shape jit step instead, bounding
+    # peak memory to O(one chunk).
+    valley_bank_max_bytes: int = 192 * 1024 * 1024
+    # streamed valley/ridge: target device size of one angle chunk's padded
+    # kernel stack (the FFT intermediates are a small multiple of this).
+    valley_chunk_bytes: int = 128 * 1024 * 1024
     # Reproduce the reference's int32-truncation quirk in the rolling std
     # (reference topo.py:300). Set False for a cleaner float32 variance.
     std_int32_parity: bool = True

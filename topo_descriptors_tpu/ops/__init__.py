@@ -18,7 +18,10 @@ from topo_descriptors_tpu.ops.dem import dem
 from topo_descriptors_tpu.ops.tpi import tpi
 from topo_descriptors_tpu.ops.std import std
 from topo_descriptors_tpu.ops.gradient import gradient, sobel
-from topo_descriptors_tpu.ops.valley_ridge import valley_ridge
+from topo_descriptors_tpu.ops.valley_ridge import (
+    valley_ridge,
+    valley_ridge_streamed,
+)
 from topo_descriptors_tpu.ops.sx import sx, sx_sweep
 from topo_descriptors_tpu.ops.multiscale import disk_descriptors
 
@@ -35,6 +38,7 @@ __all__ = [
     "gradient",
     "sobel",
     "valley_ridge",
+    "valley_ridge_streamed",
     "sx",
     "sx_sweep",
     "disk_descriptors",

@@ -44,12 +44,15 @@ def disk_descriptors(
     int32_parity: Optional[bool] = None,
     compute_tpi: bool = True,
     compute_std: bool = True,
+    center: Optional[float] = None,
 ) -> Dict[str, jax.Array]:
     """TPI and/or rolling STD at every disk size, sharing the moment fields.
 
     Semantics per scale are identical to :func:`ops.tpi` / :func:`ops.std`
     (reference topo.py:145-181, 272-307) with one shared pre-smooth sigma
     (pass None for raw). Returns ``{"tpi": (S,H,W), "std": (S,H,W)}``.
+    ``center`` overrides the centring constant — the banded out-of-core
+    runner passes the global one so every band sees identical algebra.
     """
     if int32_parity is None:
         int32_parity = CFG.std_int32_parity
@@ -57,7 +60,10 @@ def disk_descriptors(
     if sigma:
         dem = gaussian_filter(dem, sigma)
 
-    c = jnp.round(jnp.mean(dem))
+    if center is None:
+        c = jnp.round(jnp.mean(dem))
+    else:
+        c = jnp.asarray(center, dtype=dem.dtype)
     z_c = dem - c
     if compute_std:
         t = jnp.trunc(dem) if int32_parity else dem

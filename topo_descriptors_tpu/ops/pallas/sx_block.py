@@ -119,18 +119,20 @@ def _sx_kernel(
 
 
 def _sx_sweep_kernel(
-    colptr_ref,  # (A, C+1) int32 SMEM: CSR pointers into the ox-sorted rays
-    oy_ref,  # (A, Kmax) int32 SMEM: row offsets (border added), ox-sorted
-    inv_ref,  # (A, Kmax) f32 SMEM: 1/distance, ox-sorted
+    colptr_ref,  # (A, C*8+1) int32 SMEM: CSR pointers per (column, oy%8)
+    oy_ref,  # (A, Kmax) int32 SMEM: row offsets (border added), group-sorted
+    inv_ref,  # (A, Kmax) f32 SMEM: 1/distance, group-sorted
     dem_ref,  # padded DEM, stays in HBM/ANY
     out_ref,  # (1, BY, BX) VMEM output block for azimuth a
-    scratch,  # (BY+2b, BX+2b) VMEM halo window, persists across azimuths
-    sem,  # DMA semaphore
+    scratch,  # (2, wy, wx) VMEM halo windows (double-buffered across blocks)
+    sem,  # (2,) DMA semaphores
     *,
     border: int,
     block: tuple,
     window_shape: tuple,
     height: float,
+    grid: tuple,
+    n_acc: int,
 ):
     """Whole-fan Sx: ray offsets as *runtime data* instead of constants.
 
@@ -143,55 +145,77 @@ def _sx_sweep_kernel(
 
     Mosaic only allows dynamic vector-load starts provably aligned to the
     (8, 128) tile, so a dynamic (oy, ox) shift cannot be a plain VMEM
-    slice, and dynamic rotates cost ~1 cycle *per row*. The rays are
-    therefore CSR-grouped by their column offset host-side: the kernel
-    walks the C = 2*border+1 column groups in a static loop (static lane
-    slice, free at compile time); the row shift decomposes into an
-    8-aligned dynamic load — ``(oy // 8) * 8`` is alignment Mosaic can
-    prove — plus an 8-way switch over static remainder slices, keeping
-    every vector op at full (8, 128)-tile throughput.
+    slice. The rays are therefore CSR-grouped host-side by
+    ``(column, oy mod 8)``: the kernel walks the C x 8 groups in a static
+    double loop (static lane slice + static sublane remainder), and inside a
+    group only the *aligned* load base ``(oy // 8) * 8`` is dynamic —
+    alignment Mosaic can prove — so every vector op runs at full
+    (8, 128)-tile throughput with no per-ray branch. (The round-2 version
+    grouped by column only and selected the remainder with an 8-way
+    ``lax.switch`` per ray, which Mosaic lowers to compute-all-and-select —
+    ~8x the VMEM reads; the static remainder removes it entirely.)
+    ``n_acc`` independent accumulators rotate across groups to break the
+    serial fmax dependency chain, and each block's window is prefetched
+    while the previous block's last azimuth still reduces.
     """
     by, bx = block
+    gy, gx = grid
+    wy, wx = window_shape
     i = pl.program_id(0)
     j = pl.program_id(1)
     a = pl.program_id(2)
+    n_az = pl.num_programs(2)
+    linear = i * gx + j
+    slot = jax.lax.rem(linear, 2)
 
-    wy, wx = window_shape
-    n_cols = colptr_ref.shape[1] - 1
+    def copy_for(lin, s):
+        bi = lin // gx
+        bj = jax.lax.rem(lin, gx)
+        return pltpu.make_async_copy(
+            dem_ref.at[pl.ds(bi * by, wy), pl.ds(bj * bx, wx)],
+            scratch.at[s],
+            sem.at[s],
+        )
+
+    @pl.when((linear == 0) & (a == 0))
+    def _first():
+        copy_for(linear, slot).start()
+
+    # prefetch the next block's window while this block's last azimuth runs
+    @pl.when((a == n_az - 1) & (linear + 1 < gy * gx))
+    def _prefetch_next():
+        copy_for(linear + 1, 1 - slot).start()
 
     @pl.when(a == 0)
-    def _load_window():
-        copy = pltpu.make_async_copy(
-            dem_ref.at[pl.ds(i * by, wy), pl.ds(j * bx, wx)],
-            scratch,
-            sem,
-        )
-        copy.start()
-        copy.wait()
+    def _wait_window():
+        copy_for(linear, slot).wait()
 
-    base = scratch[border : border + by, border : border + bx] + jnp.float32(
-        height
+    base = scratch[slot, border : border + by, border : border + bx] + (
+        jnp.float32(height)
     )
 
-    acc = jnp.full((by, bx), -jnp.inf, jnp.float32)
+    accs = [jnp.full((by, bx), -jnp.inf, jnp.float32) for _ in range(n_acc)]
+    n_cols = (colptr_ref.shape[1] - 1) // 8
+    gi = 0
     for c in range(n_cols):
+        for r in range(8):
+            g = c * 8 + r
 
-        def body(k, acc, c=c):
-            oy = oy_ref[a, k]
-            inv = inv_ref[a, k]
-            oy_hi = (oy // 8) * 8
-            tile = scratch[pl.ds(oy_hi, by + 8), c : c + bx]
-            shifted = jax.lax.switch(
-                oy - oy_hi,
-                [lambda t=tile, r=r: t[r : r + by, :] for r in range(8)],
+            def body(k, acc, c=c, r=r):
+                oy = oy_ref[a, k]
+                inv = inv_ref[a, k]
+                oy_hi = (oy // 8) * 8  # provably 8-aligned dynamic start
+                tile = scratch[slot, pl.ds(oy_hi, by + 8), c : c + bx]
+                shifted = tile[r : r + by, :]  # static sublane remainder
+                return jnp.fmax(acc, (shifted - base) * inv)
+
+            # empty group (no rays at this (column, residue)) -> zero trips
+            k = gi % n_acc
+            accs[k] = jax.lax.fori_loop(
+                colptr_ref[a, g], colptr_ref[a, g + 1], body, accs[k]
             )
-            return jnp.fmax(acc, (shifted - base) * inv)
-
-        # empty group (no rays in this column for azimuth a) -> zero trips
-        acc = jax.lax.fori_loop(
-            colptr_ref[a, c], colptr_ref[a, c + 1], body, acc
-        )
-    out_ref[0] = acc
+            gi += 1
+    out_ref[0] = _tree_fmax(accs)
 
 
 def sx_sweep_pallas(
@@ -239,21 +263,23 @@ def sx_sweep_pallas(
     with np.errstate(divide="ignore"):  # distance-0 quirk (see ops.sx)
         inv_all = (1.0 / distances).astype(np.float32)
 
-    # CSR-group each azimuth's rays by column offset (see kernel docstring).
+    # CSR-group each azimuth's rays by (column offset, row offset mod 8) —
+    # see kernel docstring: the static residue keeps the sublane shift free.
     # Padding rows (zero offset, NaN distance) are dropped here outright —
     # the CSR ranges only cover real rays, so ragged fans cost nothing.
     oy = np.zeros((n_az, kmax), np.int32)
     inv = np.full((n_az, kmax), np.nan, np.float32)
-    colptr = np.zeros((n_az, n_cols + 1), np.int32)
+    colptr = np.zeros((n_az, n_cols * 8 + 1), np.int32)
     for a in range(n_az):
         real = ~(np.isnan(distances[a]) & ~offsets[a].any(axis=1))
         oy_a = offsets[a, real, 0] + b
         ox_a = offsets[a, real, 1] + b
-        order = np.argsort(ox_a, kind="stable")
+        group = ox_a * 8 + (oy_a % 8)
+        order = np.argsort(group, kind="stable")
         n_real = order.size
         oy[a, :n_real] = oy_a[order]
         inv[a, :n_real] = inv_all[a, real][order]
-        colptr[a, 1:] = np.cumsum(np.bincount(ox_a, minlength=n_cols))
+        colptr[a, 1:] = np.cumsum(np.bincount(group, minlength=n_cols * 8))
 
     kernel = functools.partial(
         _sx_sweep_kernel,
@@ -261,6 +287,8 @@ def sx_sweep_pallas(
         block=(by, bx),
         window_shape=(wy, wx),
         height=float(height),
+        grid=(gy, gx),
+        n_acc=4,
     )
     out = pl.pallas_call(
         kernel,
@@ -275,13 +303,13 @@ def sx_sweep_pallas(
             (1, by, bx), lambda i, j, a: (a, i, j), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((wy, wx), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, wy, wx), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         out_shape=jax.ShapeDtypeStruct((n_az, gy * by, gx * bx), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            # scratch persistence across the azimuth dim requires strictly
-            # sequential grid order
+            # scratch persistence across the azimuth dim and the cross-block
+            # prefetch require strictly sequential grid order
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),

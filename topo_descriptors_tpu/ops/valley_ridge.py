@@ -9,12 +9,28 @@ import jax.numpy as jnp
 import numpy as np
 
 from topo_descriptors_tpu.config import CFG
-from topo_descriptors_tpu.kernels.valley import rotated_kernel_bank
+from topo_descriptors_tpu.kernels.valley import (
+    ridge_kernels,
+    rotate_kernels,
+    rotated_extent,
+    rotated_kernel_bank,
+    valley_kernels,
+)
 from topo_descriptors_tpu.ops.conv import (
     _fft_shape,
     conv2d_bank_rowchan,
     gaussian_filter,
 )
+
+
+def bank_nbytes(size: int, n_flats: int, n_angles: int = 180) -> int:
+    """float32 size of the full padded rotation bank, computed without
+    building it. At the reference's own 60-100 km example scales
+    (scripts/compute_topo_descriptors.py:63-72) this reaches 17-48 GB, which
+    is why :func:`valley_ridge` switches to the streamed path above
+    ``CFG.valley_bank_max_bytes``."""
+    ky, kx = rotated_extent(size)
+    return n_angles * n_flats * ky * kx * 4
 
 
 def prepare_valley_bank(
@@ -72,6 +88,150 @@ def _flat_axis_combine(convs: jax.Array, axis: int = 0) -> jax.Array:
     return jnp.stack(outs, axis=axis)
 
 
+_STREAM_CACHE: dict = {}
+
+
+def _streamed_scan_fn(h, w, n_flats, n_angles, ky_max, kx_max, fh, fw):
+    """jit-compiled whole-bank scan for :func:`valley_ridge_streamed`,
+    cached per static signature. ``filtered`` and ``params`` arrive as
+    arguments (not closure constants) so GB-scale kernels never become jit
+    constants — the compile-payload failure mode documented at
+    ops/conv.py:612-618."""
+    from topo_descriptors_tpu.ops.spline_rotate import rotate_std_canvas
+
+    key = (h, w, n_flats, n_angles, ky_max, kx_max, fh, fw)
+    fns = _STREAM_CACHE.get(key)
+    if fns is not None:
+        return fns
+    sh, sw = (ky_max - 1) // 2, (kx_max - 1) // 2
+
+    @jax.jit
+    def field_fft(dem_std):
+        return jnp.fft.rfft2(dem_std, s=(fh, fw))
+
+    @jax.jit
+    def chunk(f_dem, filtered, params, angles, norm, direction):
+        def body(carry, xs):
+            norm, direction = carry
+            p, angle = xs
+            canvas = rotate_std_canvas(filtered, p, (ky_max, kx_max))
+            fk = jnp.fft.rfft2(canvas, s=(fh, fw))
+            full = jnp.fft.irfft2(f_dem[None] * fk, s=(fh, fw))
+            convs = jax.lax.slice(
+                full, (0, sh, sw), (n_flats, sh + h, sw + w)
+            ).astype(norm.dtype)
+            combined = jnp.max(_flat_axis_combine(convs, axis=0), axis=0)
+            greater = combined > norm
+            return (
+                jnp.where(greater, combined, norm),
+                jnp.where(greater, angle, direction),
+            ), None
+
+        (norm, direction), _ = jax.lax.scan(
+            body, (norm, direction), (params, angles)
+        )
+        return norm, direction
+
+    fns = (field_fft, chunk)
+    _STREAM_CACHE[key] = fns
+    return fns
+
+
+def valley_ridge_streamed(
+    dem: jax.Array,
+    size: int,
+    mode: str,
+    flat_list: Sequence[float] = (0, 0.15, 0.3),
+    sigma: Optional[float] = None,
+    stats: Optional[tuple] = None,
+    n_angles: int = 180,
+) -> List[jax.Array]:
+    """Valley/ridge with the kernel rotation performed ON DEVICE, per angle.
+
+    Semantics match :func:`valley_ridge` (reference topo.py:389-453) to
+    float32 rounding; the restructure is for scales where the 180-angle bank
+    cannot exist as one array — the reference's 20-100 km batch scales imply
+    a 1.9-48 GB bank at 30 m resolution (the reference itself only ever
+    holds ONE rotated stack at a time, topo.py:441-443, and pays 180 host
+    rotations per scale).
+
+    Execution model (everything device-resident):
+
+    * the *base* V/U kernel stack (F, size, size) is uploaded once and
+      spline-prefiltered once
+      (:func:`~topo_descriptors_tpu.ops.spline_rotate.prefilter2d_o2`);
+    * the field transform (rfft2 at the linear-convolution shape of the
+      largest rotated extent) is hoisted out of the angle loop;
+    * ONE ``lax.scan`` over all 180 angles: each step rotates the
+      prefiltered stack into the anchored canvas with the order-2 spline
+      gather (scipy-parity ~2e-6,
+      :func:`~topo_descriptors_tpu.ops.spline_rotate.rotate_std_canvas`),
+      convolves via the hoisted FFT, and applies the fused flat-combine +
+      strictly-greater running max/argmax.
+
+    Peak memory is O(one angle): ~4 canvas-sized transients regardless of
+    scale — ~1.3 GB HBM at the 100 km scale where the static bank would be
+    48 GB. No per-angle host work, no per-angle transfers.
+    """
+    if mode not in ("valley", "ridge"):
+        raise ValueError(f"Unknown mode {mode!r}")
+    from topo_descriptors_tpu.ops.spline_rotate import (
+        prefilter2d_o2,
+        rotation_params,
+    )
+    from topo_descriptors_tpu.utils.transfer import chunked_device_put
+
+    if sigma:
+        dem = gaussian_filter(dem, sigma)
+    if stats is None:
+        dem = (dem - jnp.mean(dem)) / jnp.std(dem)
+    else:
+        dem = (dem - stats[0]) / stats[1]
+
+    base = (
+        ridge_kernels(size, flat_list)
+        if mode == "ridge"
+        else valley_kernels(size, flat_list)
+    )
+    n_flats = len(flat_list)
+    ky_max, kx_max = rotated_extent(size, np.arange(n_angles))
+    h, w = dem.shape
+    fh = _fft_shape(h + ky_max - 1)
+    fw = _fft_shape(w + kx_max - 1)
+
+    filtered = prefilter2d_o2(chunked_device_put(base.astype(np.float32)))
+    params = np.stack(
+        [rotation_params(size, float(a), ky_max, kx_max) for a in range(n_angles)]
+    )
+    angles = np.arange(n_angles, dtype=np.float32)
+    # process the bank in fixed-size chunks of the scan (carry device-
+    # resident between calls): keeps each device program seconds-long at
+    # 100 km scales instead of one minutes-long request, and re-uses one
+    # compiled chunk program. The tail chunk repeats the last angle, which
+    # the strictly-greater update makes a no-op.
+    chunk_angles = min(15, n_angles)
+    pad = (-n_angles) % chunk_angles
+    if pad:
+        params = np.concatenate([params, np.repeat(params[-1:], pad, 0)])
+        angles = np.concatenate([angles, np.repeat(angles[-1:], pad)])
+    field_fft, chunk_fn = _streamed_scan_fn(
+        h, w, n_flats, chunk_angles, ky_max, kx_max, fh, fw
+    )
+    f_dem = field_fft(dem)
+    norm = jnp.full((h, w), -jnp.inf, dtype=dem.dtype)
+    direction = jnp.zeros((h, w), dtype=dem.dtype)
+    for a0 in range(0, len(angles), chunk_angles):
+        norm, direction = chunk_fn(
+            f_dem,
+            filtered,
+            jnp.asarray(params[a0 : a0 + chunk_angles]),
+            jnp.asarray(angles[a0 : a0 + chunk_angles], dtype=dem.dtype),
+            norm,
+            direction,
+        )
+    return [jnp.clip(norm, 0.0, None), direction]
+
+
 def valley_ridge(
     dem: jax.Array,
     size: int,
@@ -103,6 +263,16 @@ def valley_ridge(
     """
     if mode not in ("valley", "ridge"):
         raise ValueError(f"Unknown mode {mode!r}")
+    if bank is None and (
+        method == "stream"
+        or (
+            method == "auto"
+            and bank_nbytes(size, len(flat_list)) > CFG.valley_bank_max_bytes
+        )
+    ):
+        # bank too large to exist as one static array (17-48 GB at the
+        # reference's own 60-100 km example scales): stream angle chunks
+        return valley_ridge_streamed(dem, size, mode, flat_list, sigma, stats)
     if sigma:
         dem = gaussian_filter(dem, sigma)
 

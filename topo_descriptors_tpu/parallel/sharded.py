@@ -101,55 +101,142 @@ class ShardedOps:
         return jax.device_put(array, self._spec())
 
     # ------------------------------------------------------------------
-    def _local_gaussian(self, block, sigma, truncate=4.0):
+    def _local_gaussian(self, block, sigma, truncate=4.0, valid=None):
         """Per-axis separable Gaussian on a local block: halo-exchange the tap
         radius with reflect fill at the true boundary, then VALID correlate —
-        equal to scipy.ndimage.gaussian_filter of the global field."""
+        equal to scipy.ndimage.gaussian_filter of the global field.
+
+        ``valid`` (vh, vw) supports ragged grids padded bottom/right with
+        ``pad_to_mesh``: the reflection then happens at the *true* domain
+        edge — pad positions (and the halo beyond them) are overwritten with
+        reflections of in-domain data before correlating, so valid outputs
+        equal the unpadded single-chip filter exactly. Requires the pad to
+        fit alongside its reflection inside one block (pad <= block/2)."""
+        from topo_descriptors_tpu.parallel.halo import _reflect_oob
+
         sigmas = (sigma, sigma) if np.isscalar(sigma) else tuple(sigma)
         mesh_sizes = (self.gy, self.gx)
         names = (GY, GX)
+        h, w = block.shape
         for axis, s in enumerate(sigmas):
             if not s or s <= 0:
                 continue
             taps = gaussian_kernel1d(s, truncate).astype(np.float32)
             r = gaussian_radius(s, truncate)
-            block = halo_pad_1d(block, axis, (r, r), names[axis], mesh_sizes[axis],
-                                fill="reflect")
+            n = block.shape[axis]
+            total = mesh_sizes[axis] * (h, w)[axis]
+            v = valid[axis] if valid is not None else total
+            if v == total:
+                block = halo_pad_1d(
+                    block, axis, (r, r), names[axis], mesh_sizes[axis],
+                    fill="reflect",
+                )
+            else:
+                if 2 * (total - v) > n:
+                    raise ValueError(
+                        f"ragged pad {total - v} too wide for block {n} "
+                        f"along {names[axis]}: the true-edge reflection "
+                        "source must fit in the same block"
+                    )
+                ext = halo_pad_1d(
+                    block, axis, (r, r), names[axis], mesh_sizes[axis],
+                    fill="zero",
+                )
+                block = _reflect_oob(ext, axis, r, names[axis], n, v)
             block = C._correlate1d_valid(block, taps, axis)
         return block
 
+    def _valid_mask(self, block_shape, valid_shape, dtype):
+        """Per-block 0/1 mask of the true domain for ragged grids, plus the
+        (giy, gix) global index planes."""
+        lh, lw = block_shape
+        giy = global_index(0, GY, lh, block_shape)
+        gix = global_index(1, GX, lw, block_shape)
+        vh, vw = valid_shape
+        mask = ((giy < vh) & (gix < vw)).astype(dtype)
+        return mask, giy, gix
+
+    def _masked_center(self, block, mask, count):
+        """round(mean) over the true domain (the TPI/STD centring constant;
+        rounding absorbs cross-device summation-order differences)."""
+        return jnp.round(
+            jax.lax.psum(jnp.sum(block * mask), (GY, GX)) / count
+        )
+
+    def _valid_counts(self, shape, valid_shape, kernel):
+        """Host-side exact boundary tap-count plane of the *true* grid,
+        zero-embedded into the padded global shape."""
+        vh, vw = valid_shape
+        plane = np.zeros(shape, np.float32)
+        plane[:vh, :vw] = C.edge_count_plane(valid_shape, kernel)
+        return self.put(plane)
+
     # ------------------------------------------------------------------
-    def gaussian(self, x: jax.Array, sigma, truncate: float = 4.0) -> jax.Array:
+    def gaussian(
+        self,
+        x: jax.Array,
+        sigma,
+        truncate: float = 4.0,
+        valid_shape: Optional[Tuple[int, int]] = None,
+    ) -> jax.Array:
         """Sharded scipy-parity Gaussian smoothing (reference dem op,
-        topo.py:62-80)."""
+        topo.py:62-80). ``valid_shape`` reflects at the *true* edge of a
+        ragged padded grid (see :meth:`_local_gaussian`)."""
         self._check(x.shape)
         sig_key = tuple(sigma) if not np.isscalar(sigma) else float(sigma)
 
         def build():
-            return lambda b: self._local_gaussian(b, sigma, truncate)
+            return lambda b: self._local_gaussian(
+                b, sigma, truncate, valid=valid_shape
+            )
 
-        return self._wrap(("gauss", sig_key, truncate, x.shape), build, 1)(x)
+        return self._wrap(
+            ("gauss", sig_key, truncate, x.shape, valid_shape), build, 1
+        )(x)
 
     # ------------------------------------------------------------------
     def tpi(
-        self, x: jax.Array, size: int, sigma: Optional[float] = None
+        self,
+        x: jax.Array,
+        size: int,
+        sigma: Optional[float] = None,
+        valid_shape: Optional[Tuple[int, int]] = None,
     ) -> jax.Array:
-        """Sharded TPI (reference topo.py:145-181)."""
+        """Sharded TPI (reference topo.py:145-181).
+
+        ``valid_shape`` supports ragged grids padded with ``pad_to_mesh``:
+        the pre-smooth reflects at the *true* edge, the centring constant and
+        tap-count plane come from the true domain only, and pad pixels are
+        zeroed in the centred field so they contribute exactly what the
+        single-chip zero boundary would."""
         self._check(x.shape)
         kernel = circular_kernel(size, exclude_center=True)
         ksum = float(kernel.sum())
-        counts = self.put(
-            C.edge_count_plane(x.shape, kernel).astype(np.float32)
-        )
+        if valid_shape is None:
+            counts = self.put(
+                C.edge_count_plane(x.shape, kernel).astype(np.float32)
+            )
+        else:
+            counts = self._valid_counts(x.shape, valid_shape, kernel)
         kh, kw = kernel.shape
         (ply, phy), (plx, phx) = C._same_pads(kh), C._same_pads(kw)
 
         def build():
             def local(block, counts_l):
                 if sigma:
-                    block = self._local_gaussian(block, sigma)
-                c = jnp.round(_global_mean(block))
-                z = block - c
+                    block = self._local_gaussian(
+                        block, sigma, valid=valid_shape
+                    )
+                if valid_shape is None:
+                    c = jnp.round(_global_mean(block))
+                    z = block - c
+                else:
+                    mask, _, _ = self._valid_mask(
+                        block.shape, valid_shape, block.dtype
+                    )
+                    cnt = float(valid_shape[0] * valid_shape[1])
+                    c = self._masked_center(block, mask, cnt)
+                    z = (block - c) * mask
                 zp = exchange_halo(
                     z, (ply, phy), (plx, phx), (self.gy, self.gx), fill="zero"
                 )
@@ -158,7 +245,9 @@ class ShardedOps:
 
             return local
 
-        return self._wrap(("tpi", size, sigma, x.shape), build, 2)(x, counts)
+        return self._wrap(
+            ("tpi", size, sigma, x.shape, valid_shape), build, 2
+        )(x, counts)
 
     # ------------------------------------------------------------------
     def std(
@@ -167,23 +256,43 @@ class ShardedOps:
         size: int,
         sigma: Optional[float] = None,
         int32_parity: bool = True,
+        valid_shape: Optional[Tuple[int, int]] = None,
     ) -> jax.Array:
         """Sharded rolling STD (reference topo.py:272-307), with the
-        mean-centred float32-stable formulation of ops.std."""
+        mean-centred float32-stable formulation of ops.std. ``valid_shape``
+        handles ragged padded grids exactly as in :meth:`tpi`."""
         self._check(x.shape)
         kernel = circular_kernel(size)
         ksum = float(kernel.sum())
-        counts = self.put(C.edge_count_plane(x.shape, kernel).astype(np.float32))
+        if valid_shape is None:
+            counts = self.put(
+                C.edge_count_plane(x.shape, kernel).astype(np.float32)
+            )
+        else:
+            counts = self._valid_counts(x.shape, valid_shape, kernel)
         kh, kw = kernel.shape
         (ply, phy), (plx, phx) = C._same_pads(kh), C._same_pads(kw)
 
         def build():
             def local(block, counts_l):
                 if sigma:
-                    block = self._local_gaussian(block, sigma)
-                c = jnp.round(_global_mean(block))
+                    block = self._local_gaussian(
+                        block, sigma, valid=valid_shape
+                    )
+                if valid_shape is None:
+                    c = jnp.round(_global_mean(block))
+                    mask = None
+                else:
+                    mask, _, _ = self._valid_mask(
+                        block.shape, valid_shape, block.dtype
+                    )
+                    cnt = float(valid_shape[0] * valid_shape[1])
+                    c = self._masked_center(block, mask, cnt)
                 t = jnp.trunc(block) if int32_parity else block
-                stack = jnp.stack([(t - c) * (t - c), t - c, block - c])
+                t_c, z_c = t - c, block - c
+                if mask is not None:
+                    t_c, z_c = t_c * mask, z_c * mask
+                stack = jnp.stack([t_c * t_c, t_c, z_c])
                 stackp = exchange_halo(
                     stack,
                     (ply, phy),
@@ -202,13 +311,149 @@ class ShardedOps:
             return local
 
         return self._wrap(
-            ("std", size, sigma, int32_parity, x.shape), build, 2
+            ("std", size, sigma, int32_parity, x.shape, valid_shape), build, 2
         )(x, counts)
 
     # ------------------------------------------------------------------
-    def _central_diff(self, block, axis):
+    def disk_descriptors(
+        self,
+        x: jax.Array,
+        sizes: Sequence[int],
+        sigma: Optional[float] = None,
+        compute_tpi: bool = True,
+        compute_std: bool = True,
+        int32_parity: bool = True,
+        valid_shape: Optional[Tuple[int, int]] = None,
+    ):
+        """Fused multi-scale TPI/STD over the mesh — the sharded counterpart
+        of :func:`topo_descriptors_tpu.ops.disk_descriptors`.
+
+        One shard_map program for the whole (descriptor, scale) batch: the
+        centred moment fields are built once, the halo is exchanged ONCE at
+        the *largest* scale's width (each smaller scale convolves a centred
+        crop of the same extended stack), and TPI rides STD's intermediates
+        as an elementwise epilogue. The per-scale sharded methods rebuild
+        fields and re-exchange per scale — for the reference's 12-scale batch
+        (scripts/compute_topo_descriptors.py:44-62) that is 12 exchanges and
+        36 conv inputs vs one exchange here.
+
+        Returns ``{"tpi": (S, H, W), "std": (S, H, W)}`` sharded arrays.
+        """
+        self._check(x.shape)
+        sizes = [int(s) for s in sizes]
+        disks = [circular_kernel(s) for s in sizes]
+        ksums = [float(k.sum()) for k in disks]
+        pads = [(C._same_pads(k.shape[0]), C._same_pads(k.shape[1]))
+                for k in disks]
+        ply_m = max(p[0][0] for p in pads)
+        phy_m = max(p[0][1] for p in pads)
+        plx_m = max(p[1][0] for p in pads)
+        phx_m = max(p[1][1] for p in pads)
+        if valid_shape is None:
+            counts = [
+                self.put(C.edge_count_plane(x.shape, k).astype(np.float32))
+                for k in disks
+            ]
+        else:
+            counts = [
+                self._valid_counts(x.shape, valid_shape, k) for k in disks
+            ]
+        def build():
+            def local(block, *counts_l):
+                if sigma:
+                    block = self._local_gaussian(
+                        block, sigma, valid=valid_shape
+                    )
+                if valid_shape is None:
+                    c = jnp.round(_global_mean(block))
+                    mask = None
+                else:
+                    mask, _, _ = self._valid_mask(
+                        block.shape, valid_shape, block.dtype
+                    )
+                    cnt = float(valid_shape[0] * valid_shape[1])
+                    c = self._masked_center(block, mask, cnt)
+                z_c = block - c
+                if mask is not None:
+                    z_c = z_c * mask
+                if compute_std:
+                    t = jnp.trunc(block) if int32_parity else block
+                    t_c = t - c
+                    if mask is not None:
+                        t_c = t_c * mask
+                    fields = jnp.stack([z_c, t_c, t_c * t_c])
+                else:
+                    fields = z_c[None]
+                stackp = exchange_halo(
+                    fields,
+                    (ply_m, phy_m),
+                    (plx_m, phx_m),
+                    (self.gy, self.gx),
+                    fill="zero",
+                    y_axis=1,
+                    x_axis=2,
+                )
+                out_tpi, out_std = [], []
+                for i, (disk, ksum) in enumerate(zip(disks, ksums)):
+                    (ply, phy), (plx, phx) = pads[i]
+                    trimmed = stackp[
+                        :,
+                        ply_m - ply : stackp.shape[1] - (phy_m - phy),
+                        plx_m - plx : stackp.shape[2] - (phx_m - phx),
+                    ]
+                    convs = C.conv2d_valid(trimmed, disk)
+                    z_conv = convs[0]
+                    if compute_tpi:
+                        # centre-zeroed disk = full disk minus the centre tap
+                        tpi_sum = (z_conv - z_c) + c * (counts_l[i] - 1.0)
+                        out_tpi.append(block - tpi_sum / (ksum - 1.0))
+                    if compute_std:
+                        t_conv, q_conv = convs[1], convs[2]
+                        sum_sq = q_conv + 2.0 * c * t_conv + c * c * counts_l[i]
+                        sum_dem = z_conv + c * counts_l[i]
+                        var = (sum_sq - sum_dem * sum_dem / ksum) / (ksum - 1.0)
+                        out_std.append(jnp.sqrt(jnp.clip(var, 0.0, None)))
+                return tuple(
+                    (jnp.stack(out_tpi),) if compute_tpi else ()
+                ) + tuple((jnp.stack(out_std),) if compute_std else ())
+
+            return local
+
+        key = (
+            "disk_multi", tuple(sizes), sigma, compute_tpi, compute_std,
+            int32_parity, x.shape, valid_shape,
+        )
+        fn = self._cache.get(key)
+        if fn is None:
+            local = build()
+            n_res = int(compute_tpi) + int(compute_std)
+            out_specs = tuple([P(None, GY, GX)] * n_res)
+            fn = jax.jit(
+                shard_map(
+                    local,
+                    mesh=self.mesh,
+                    in_specs=tuple([SPATIAL] * (1 + len(sizes))),
+                    out_specs=out_specs if n_res > 1 else out_specs[0],
+                )
+            )
+            self._cache[key] = fn
+        res = fn(x, *counts)
+        if not isinstance(res, tuple):
+            res = (res,)
+        out = {}
+        if compute_tpi:
+            out["tpi"] = res[0]
+        if compute_std:
+            out["std"] = res[-1]
+        return out
+
+    # ------------------------------------------------------------------
+    def _central_diff(self, block, axis, valid_len=None):
         """np.gradient: halo of 1 with linear-extrapolation fill makes the
-        central difference reproduce the one-sided edge formula."""
+        central difference reproduce the one-sided edge formula. For ragged
+        grids (``valid_len`` < padded length) the last *valid* row/col is
+        overwritten with the backward difference — np.gradient's bottom/right
+        edge formula at the true edge."""
         names = (GY, GX)
         sizes = (self.gy, self.gx)
         ext = halo_pad_1d(block, axis, (1, 1), names[axis], sizes[axis],
@@ -216,7 +461,14 @@ class ShardedOps:
         n = ext.shape[axis]
         hi = _slice_axis(ext, axis, 2, n)
         lo = _slice_axis(ext, axis, 0, n - 2)
-        return (hi - lo) * jnp.asarray(0.5, block.dtype)
+        grad = (hi - lo) * jnp.asarray(0.5, block.dtype)
+        total = sizes[axis] * block.shape[axis]
+        if valid_len is not None and valid_len < total:
+            mid = _slice_axis(ext, axis, 1, n - 1)
+            backward = mid - _slice_axis(ext, axis, 0, n - 2)
+            gi = global_index(axis, names[axis], block.shape[axis], block.shape)
+            grad = jnp.where(gi == valid_len - 1, backward, grad)
+        return grad
 
     def gradient(
         self,
@@ -224,45 +476,73 @@ class ShardedOps:
         sigma: float,
         res_meters,
         sig_ratio: float = 1.0,
+        valid_shape: Optional[Tuple[int, int]] = None,
     ):
         """Sharded gradient/slope/aspect (reference topo.py:597-644).
 
         ``res_meters`` is the dict from scale_to_pixel; resolutions are
         broadcast host-side to full 2-D planes so both projected (1-D) and
-        geographic (2-D) grids shard uniformly.
+        geographic (2-D) grids shard uniformly. ``valid_shape`` supports
+        ragged padded grids: the pre-smooth reflects at the true edge and
+        np.gradient's one-sided formula is applied at the true bottom/right
+        rows (outputs in the pad region are garbage and cropped by the
+        caller).
         """
         self._check(x.shape)
         h, w = x.shape
-        xr = np.broadcast_to(
-            np.asarray(res_meters["x"], dtype=np.float32), (h, w)
-        )
+        vh, vw = valid_shape if valid_shape is not None else (h, w)
+        xr = np.asarray(res_meters["x"], dtype=np.float32)
+        xr = np.broadcast_to(xr, (vh, vw))
         yr = np.asarray(res_meters["y"], dtype=np.float32)
         if yr.ndim == 1:
             yr = yr[:, None]
-        yr = np.broadcast_to(yr, (h, w))
+        yr = np.broadcast_to(yr, (vh, vw))
+        if (vh, vw) != (h, w):  # edge-repeat into the pad region (cropped)
+            xr = np.pad(xr, ((0, h - vh), (0, w - vw)), mode="edge")
+            yr = np.pad(yr, ((0, h - vh), (0, w - vw)), mode="edge")
         xr_s = self.put(np.ascontiguousarray(xr))
         yr_s = self.put(np.ascontiguousarray(yr))
+        vlen = valid_shape
 
         def build():
             def local(block, xres, yres):
                 if sigma <= 1:
                     k = sobel_kernel()
-                    ext = exchange_halo(
-                        block, 1, 1, (self.gy, self.gx), fill="reflect"
-                    )
+                    if vlen is None:
+                        ext = exchange_halo(
+                            block, 1, 1, (self.gy, self.gx), fill="reflect"
+                        )
+                    else:
+                        from topo_descriptors_tpu.parallel.halo import (
+                            _reflect_oob,
+                        )
+
+                        ext = exchange_halo(
+                            block, 1, 1, (self.gy, self.gx), fill="zero"
+                        )
+                        ext = _reflect_oob(ext, 0, 1, GY, block.shape[0],
+                                           vlen[0])
+                        ext = _reflect_oob(ext, 1, 1, GX, block.shape[1],
+                                           vlen[1])
                     dx = C.conv2d_valid(ext[None], k)[0]
                     dy = C.conv2d_valid(ext[None], k.T)[0]
                 elif sig_ratio == 1:
-                    smooth = self._local_gaussian(block, sigma)
-                    dy = self._central_diff(smooth, 0)
-                    dx = self._central_diff(smooth, 1)
+                    smooth = self._local_gaussian(block, sigma, valid=vlen)
+                    dy = self._central_diff(
+                        smooth, 0, vlen[0] if vlen else None
+                    )
+                    dx = self._central_diff(
+                        smooth, 1, vlen[1] if vlen else None
+                    )
                 else:
                     sp = sigma * sig_ratio
                     dx = self._central_diff(
-                        self._local_gaussian(block, (sp, sigma)), 1
+                        self._local_gaussian(block, (sp, sigma), valid=vlen),
+                        1, vlen[1] if vlen else None,
                     )
                     dy = self._central_diff(
-                        self._local_gaussian(block, (sigma, sp)), 0
+                        self._local_gaussian(block, (sigma, sp), valid=vlen),
+                        0, vlen[0] if vlen else None,
                     )
                 dx = dx / xres
                 dy = dy / yres
@@ -274,7 +554,8 @@ class ShardedOps:
             return local
 
         return self._wrap(
-            ("grad", sigma, sig_ratio, x.shape), build, 3, n_out=4
+            ("grad", sigma, sig_ratio, x.shape, valid_shape), build, 3,
+            n_out=4,
         )(x, xr_s, yr_s)
 
     # ------------------------------------------------------------------
@@ -296,15 +577,9 @@ class ShardedOps:
         the true domain only, and pad pixels are zeroed *after* standardizing
         — a zero pixel contributes nothing to the convolution, exactly like
         the single-chip zero boundary — so the cropped result is bit-
-        comparable to the unpadded single-chip op. Requires ``sigma=None``
-        (a pre-smooth would reflect pad values at the padded edge)."""
+        comparable to the unpadded single-chip op. A pre-smooth sigma
+        reflects at the *true* edge (:meth:`_local_gaussian` with valid)."""
         self._check(x.shape)
-        if valid_shape is not None and sigma:
-            raise ValueError(
-                "ragged valley_ridge does not support a pre-smooth sigma: "
-                "the Gaussian would reflect pad values at the padded edge; "
-                "smooth on an evenly dividing grid or the tiled runner"
-            )
         bank = prepare_valley_bank(size, mode, tuple(flat_list))
         a_angles, n_flats, ky, kx = bank.shape
         (ply, phy), (plx, phx) = C._same_pads(ky), C._same_pads(kx)
@@ -317,7 +592,7 @@ class ShardedOps:
 
             def local(block):
                 if sigma:
-                    block = self._local_gaussian(block, sigma)
+                    block = self._local_gaussian(block, sigma, valid=valid_shape)
                 if valid_shape is None:
                     mean = _global_mean(block)
                     var = _global_mean((block - mean) ** 2)

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from topo_descriptors_tpu import ops
+from topo_descriptors_tpu.config import CFG
 from topo_descriptors_tpu.kernels.gaussian import gaussian_radius
 from topo_descriptors_tpu.kernels.valley import rotated_kernel_bank
 from topo_descriptors_tpu.ops.valley_ridge import prepare_valley_bank
@@ -175,6 +176,58 @@ class TiledRunner:
 
         return self._run(dem, (halo, halo), fn, sink)
 
+    def disk_descriptors(
+        self,
+        dem,
+        sizes: Sequence[int],
+        sigma: Optional[float] = None,
+        compute_tpi: bool = True,
+        compute_std: bool = True,
+        sinks: Optional[Dict[str, List]] = None,
+    ) -> Optional[Dict[str, np.ndarray]]:
+        """Banded fused multi-scale TPI/STD — the out-of-core counterpart of
+        :func:`topo_descriptors_tpu.ops.disk_descriptors`.
+
+        Each band's halo window (sized by the *largest* scale) is shipped to
+        the device ONCE; all (descriptor, scale) outputs of the band come
+        from the shared centred moment fields. The per-scale methods ship
+        the window and rebuild the fields once per scale — at the
+        reference's 12-scale batch that is 12x the ingest traffic.
+
+        ``sinks``, when given, maps kind -> one ``sink(start, band)`` per
+        scale. Without sinks, returns ``{"tpi": (S, H, W), "std": ...}``.
+        """
+        sizes = [int(s) for s in sizes]
+        r_smooth = gaussian_radius(sigma) if sigma else 0
+        halo = max(sizes) // 2 + r_smooth
+        center = self._center(dem)
+        n_rows = dem.shape[0]
+        kinds = [k for k, on in (("tpi", compute_tpi), ("std", compute_std))
+                 if on]
+
+        out: Optional[Dict[str, np.ndarray]] = None
+        for start, stop, win_lo, win_hi in self._bands(n_rows, halo, halo):
+            window = jnp.asarray(dem[win_lo:win_hi])
+            rows = slice(start - win_lo, stop - win_lo)
+            batch = ops.disk_descriptors(
+                window, sizes, sigma, compute_tpi=compute_tpi,
+                compute_std=compute_std, center=center,
+            )
+            for kind in kinds:
+                band = np.asarray(batch[kind][:, rows])
+                if sinks is not None:
+                    for s_idx, sink in enumerate(sinks[kind]):
+                        sink(start, band[s_idx])
+                    continue
+                if out is None:
+                    out = {}
+                if kind not in out:
+                    out[kind] = np.empty(
+                        (len(sizes), n_rows) + band.shape[2:], band.dtype
+                    )
+                out[kind][:, start:stop] = band
+        return out
+
     def gradient(
         self,
         dem,
@@ -254,9 +307,22 @@ class TiledRunner:
         band-wise for window readers); note the reference standardizes the
         *smoothed* field (topo.py:427-429), so with sigma the stats pass
         smooths first. With ``sinks`` (norm, dir) both outputs of a band
-        come from one device call."""
-        bank = prepare_valley_bank(size, mode, tuple(flat_list))
-        ky = bank.shape[2]
+        come from one device call.
+
+        At scales where the full rotated bank exceeds
+        ``CFG.valley_bank_max_bytes`` the bank is not materialized at all;
+        each band runs the streamed angle-chunk path
+        (:func:`~topo_descriptors_tpu.ops.valley_ridge.valley_ridge_streamed`)
+        with shared global stats — note the host-side rotation work is then
+        repeated per band, so prefer few, tall bands for huge scales."""
+        from topo_descriptors_tpu.kernels.valley import rotated_extent
+        from topo_descriptors_tpu.ops.valley_ridge import bank_nbytes
+
+        ky, _ = rotated_extent(size)
+        if bank_nbytes(size, len(flat_list)) <= CFG.valley_bank_max_bytes:
+            bank = prepare_valley_bank(size, mode, tuple(flat_list))
+        else:
+            bank = None  # ops.valley_ridge streams angle chunks per band
         r_smooth = gaussian_radius(sigma) if sigma else 0
         halo = ky // 2 + 1 + r_smooth
         stats = self._field_stats(dem, sigma)

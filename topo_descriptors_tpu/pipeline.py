@@ -146,7 +146,8 @@ def compute_dem(
     scales = _as_list(scales)
     scales_pxl, _ = geo.scale_to_pixel(scales, dem_ds)
     sigmas = scales_pxl / CFG.scale_std
-    dem_dev, to_host, _ = _compute_backend(dem_ds.data, sharded)
+    dem_dev, to_host, valid_shape = _compute_backend(dem_ds.data, sharded, 0.0)
+    padded = getattr(dem_dev, "shape", valid_shape) != valid_shape
 
     written = []
     for idx, sigma in enumerate(sigmas):
@@ -160,7 +161,12 @@ def compute_dem(
             if sharded is None:
                 array = to_host(ops.dem(dem_dev, float(sigma)))
             else:
-                array = to_host(sharded.gaussian(dem_dev, float(sigma)))
+                array = to_host(
+                    sharded.gaussian(
+                        dem_dev, float(sigma),
+                        valid_shape=valid_shape if padded else None,
+                    )
+                )
         array = _apply_nans(array, ind_nans)
         written.append(to_netcdf(array, dem_ds, name, crop, outdir, "m"))
     return written
@@ -207,25 +213,30 @@ def _compute_disk_family(
             else:
                 pending.setdefault(idx, []).append(kind)
 
-    # ragged sharded grids: zero bottom/right padding is exact for the plain
-    # disk convolutions (a zero pad pixel contributes exactly what the
-    # single-chip zero boundary would), but a pre-smooth would reflect pad
-    # values at the padded edge — refuse that combination loudly
-    ragged_fill = 0.0 if not any(sigmas[i] for i in pending) else None
-    dem_dev, to_host, _ = _compute_backend(dem_ds.data, sharded, ragged_fill)
+    # ragged sharded grids: zero bottom/right padding plus the valid-aware
+    # formulations (true-edge reflect pre-smooth, masked centring, true-grid
+    # tap counts) keep padded results bit-comparable to the unpadded ops
+    dem_dev, to_host, valid_shape = _compute_backend(dem_ds.data, sharded, 0.0)
+    padded = getattr(dem_dev, "shape", valid_shape) != valid_shape
+    vs = valid_shape if padded else None
 
     def write(kind, idx, array):
         array = _apply_nans(array, ind_nans)
         name = namers[kind](scales[idx], smth_factors[idx])
         written[(kind, idx)] = to_netcdf(array, dem_ds, name, crop, outdir, "m")
 
+    def to_host_stack(stack):
+        return np.asarray(stack)[:, : valid_shape[0], : valid_shape[1]]
+
     # group by (sigma, kind set): members of a group share one fused program
     groups: Dict[tuple, List[int]] = {}
     for idx, kk in pending.items():
         groups.setdefault((sigmas[idx], tuple(kk)), []).append(idx)
 
+    is_sharded = sharded is not None and hasattr(sharded, "put")
+    is_tiled = sharded is not None and not is_sharded
     for (sigma, kk), idxs in groups.items():
-        fused = sharded is None and (len(idxs) > 1 or len(kk) > 1)
+        fused = len(idxs) > 1 or len(kk) > 1
         if fused:
             sizes = tuple(int(scales_pxl[i]) for i in idxs)
             logger.info(
@@ -233,14 +244,21 @@ def _compute_disk_family(
                 f"({'+'.join(kk)}, sigma {sigma}) ..."
             )
             with timer(f"{'+'.join(kk)} fused x{len(idxs)} scales"):
-                batch = ops.disk_descriptors(
-                    dem_dev,
-                    sizes,
-                    sigma,
-                    compute_tpi="tpi" in kk,
-                    compute_std="std" in kk,
+                kwargs = dict(
+                    compute_tpi="tpi" in kk, compute_std="std" in kk
                 )
-                batch = {k: to_host(v) for k, v in batch.items()}
+                if is_sharded:
+                    batch = sharded.disk_descriptors(
+                        dem_dev, sizes, sigma, valid_shape=vs, **kwargs
+                    )
+                    batch = {k: to_host_stack(v) for k, v in batch.items()}
+                elif is_tiled:
+                    batch = sharded.disk_descriptors(
+                        dem_dev, sizes, sigma, **kwargs
+                    )
+                else:
+                    batch = ops.disk_descriptors(dem_dev, sizes, sigma, **kwargs)
+                    batch = {k: to_host(v) for k, v in batch.items()}
             for j, idx in enumerate(idxs):
                 for kind in kk:
                     write(kind, idx, batch[kind][j])
@@ -256,6 +274,12 @@ def _compute_disk_family(
                     if sharded is None:
                         array = to_host(
                             op(dem_dev, int(scales_pxl[idx]), sigmas[idx])
+                        )
+                    elif is_sharded:
+                        bop = sharded.tpi if kind == "tpi" else sharded.std
+                        array = to_host(
+                            bop(dem_dev, int(scales_pxl[idx]), sigmas[idx],
+                                valid_shape=vs)
                         )
                     else:
                         bop = sharded.tpi if kind == "tpi" else sharded.std
@@ -351,10 +375,7 @@ def compute_valley_ridge(
     smth_factors = _as_list(smth_factors, len(scales))
     scales_pxl, _ = geo.scale_to_pixel(scales, dem_ds)
     sigmas = geo.get_sigmas(smth_factors, scales_pxl)
-    ragged_fill = 0.0 if not any(sigmas) else None
-    dem_dev, to_host, valid_shape = _compute_backend(
-        dem_ds.data, sharded, ragged_fill
-    )
+    dem_dev, to_host, valid_shape = _compute_backend(dem_ds.data, sharded, 0.0)
     padded = getattr(dem_dev, "shape", valid_shape) != valid_shape
 
     written = []
@@ -369,11 +390,31 @@ def compute_valley_ridge(
             f"Computing scale {scales[idx]} meters with smoothing factor"
             f" {smth_factors[idx]} ..."
         )
+        from topo_descriptors_tpu.ops.valley_ridge import bank_nbytes
+
+        bank_fits = (
+            bank_nbytes(int(scale_pxl), len(flat_list))
+            <= CFG.valley_bank_max_bytes
+        )
         with timer(f"{mode} scale {scales[idx]}m"):
             if sharded is None:
                 arrays = ops.valley_ridge(
                     dem_dev, int(scale_pxl), mode, list(flat_list), sigmas[idx]
                 )
+            elif not bank_fits:
+                # the sharded program bakes the bank as a jit constant; at
+                # bank sizes past the budget (the reference's 20-100 km
+                # example scales) run the streamed single-chip path instead
+                logger.warning(
+                    f"valley/ridge bank at scale {scales[idx]}m exceeds "
+                    "CFG.valley_bank_max_bytes; running the streamed "
+                    "single-chip path instead of the sharded backend"
+                )
+                arrays = ops.valley_ridge(
+                    jnp.asarray(np.asarray(dem_ds.data, CFG.compute_dtype)),
+                    int(scale_pxl), mode, list(flat_list), sigmas[idx],
+                )
+                arrays = [np.asarray(a) for a in arrays]
             else:
                 arrays = sharded.valley_ridge(
                     dem_dev, int(scale_pxl), mode, list(flat_list), sigmas[idx],
@@ -404,7 +445,8 @@ def compute_gradient(
     sig_ratios = _as_list(sig_ratios, len(scales))
     scales_pxl, res_meters = geo.scale_to_pixel(scales, dem_ds)
     sigmas = scales_pxl / CFG.scale_std
-    dem_dev, to_host, _ = _compute_backend(dem_ds.data, sharded)
+    dem_dev, to_host, valid_shape = _compute_backend(dem_ds.data, sharded, 0.0)
+    padded = getattr(dem_dev, "shape", valid_shape) != valid_shape
     all_units = ["1", "1", "degree", "degree"]
 
     written = []
@@ -426,7 +468,8 @@ def compute_gradient(
                 )
             else:
                 arrays = sharded.gradient(
-                    dem_dev, float(sigma), res_meters, sig_ratios[idx]
+                    dem_dev, float(sigma), res_meters, sig_ratios[idx],
+                    valid_shape=valid_shape if padded else None,
                 )
             arrays = [to_host(a) for a in arrays]
         for array, name, units in zip(arrays, names, all_units):

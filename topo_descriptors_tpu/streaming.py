@@ -128,6 +128,11 @@ def compute_dem(dem, scales, outdir=".", tile_rows: int = 4096,
 
 def _compute_disk_family(dem, scales, smth_factors, kinds, outdir, tile_rows,
                          reassign_nans, skip_existing):
+    """Streamed TPI/STD. Scales sharing a pre-smooth sigma run FUSED: one
+    banded pass ships each halo window once and writes every
+    (descriptor, scale) output of the group from the shared moment fields
+    (TiledRunner.disk_descriptors) — the per-scale loop re-ingests the grid
+    once per output."""
     dem = open_dem(dem)
     check_dem(dem)
     scales = _as_list(scales)
@@ -138,20 +143,71 @@ def _compute_disk_family(dem, scales, smth_factors, kinds, outdir, tile_rows,
     runner = TiledRunner(tile_rows)
 
     written = {}
+    pending = []
     for idx in range(len(scales)):
+        done = True
         for kind in kinds:
             name = namers[kind](scales[idx], smth_factors[idx])
             if path := _skip(name, outdir, skip_existing):
                 written[(kind, idx)] = path
-                continue
+            else:
+                done = False
+        if not done:
+            pending.append(idx)
+
+    groups = {}
+    for idx in pending:
+        groups.setdefault(sigmas[idx], []).append(idx)
+
+    for sigma, idxs in groups.items():
+        sizes = [int(scales_pxl[i]) for i in idxs]
+        if len(idxs) == 1 and len(kinds) == 1:
+            kind = kinds[0]
+            idx = idxs[0]
+            name = namers[kind](scales[idx], smth_factors[idx])
             op = runner.tpi if kind == "tpi" else runner.std
             with timer(f"{kind} scale {scales[idx]}m streamed"):
                 path, writer = _open_writer(dem, name, outdir, "m")
                 with writer:
-                    op(dem, int(scales_pxl[idx]), sigmas[idx],
+                    op(dem, sizes[0], sigma,
                        sink=_Sink(writer, dem, reassign_nans))
             logger.info(f"saved: {path}")
             written[(kind, idx)] = path
+            continue
+        opened = {
+            kind: [
+                _open_writer(
+                    dem, namers[kind](scales[i], smth_factors[i]), outdir, "m"
+                )
+                for i in idxs
+            ]
+            for kind in kinds
+        }
+        with timer(
+            f"{'+'.join(kinds)} fused x{len(idxs)} scales streamed"
+        ):
+            try:
+                runner.disk_descriptors(
+                    dem, sizes, sigma,
+                    compute_tpi="tpi" in kinds,
+                    compute_std="std" in kinds,
+                    sinks={
+                        kind: [
+                            _Sink(w, dem, reassign_nans)
+                            for _, w in opened[kind]
+                        ]
+                        for kind in kinds
+                    },
+                )
+            finally:
+                for kind in kinds:
+                    for _, w in opened[kind]:
+                        w.close()
+        for kind in kinds:
+            for j, i in enumerate(idxs):
+                path = opened[kind][j][0]
+                logger.info(f"saved: {path}")
+                written[(kind, i)] = path
     return [written[(k, i)] for k in kinds for i in range(len(scales))]
 
 
