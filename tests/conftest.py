@@ -6,6 +6,10 @@ driver contract. Must run before the first ``import jax`` anywhere.
 """
 
 import os
+import sys
+
+# make tests/ importable (oracles.py) even under pytest's importlib mode
+sys.path.insert(0, os.path.dirname(__file__))
 
 # force CPU regardless of inherited env (the session env pins the TPU platform)
 os.environ["JAX_PLATFORMS"] = "cpu"

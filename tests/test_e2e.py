@@ -13,7 +13,7 @@ file contract, all chained.
 
 import numpy as np
 import pytest
-import test_ops  # scipy oracles (pytest rootdir/tests on sys.path)
+import oracles as orc  # shared scipy oracles (tests/oracles.py)
 
 from topo_descriptors_tpu import geo, pipeline
 from topo_descriptors_tpu.config import CFG
@@ -127,13 +127,13 @@ def test_e2e_dem(battery):
 
 def test_e2e_tpi(battery):
     size, _ = _scale_pxl(battery)
-    oracle = test_ops._tpi_oracle(battery["filled"], size)
+    oracle = orc._tpi_oracle(battery["filled"], size)
     _check(battery["files"]["tpi"][0], battery, f"TPI_{SCALE}M", "m", oracle)
 
 
 def test_e2e_std(battery):
     size, _ = _scale_pxl(battery)
-    oracle = test_ops._std_oracle(battery["filled"], size, exact=True)
+    oracle = orc._std_oracle(battery["filled"], size, exact=True)
     _check(
         battery["files"]["std"][0], battery, f"STD_{SCALE}M", "m", oracle,
         rtol=2e-3, atol=5e-1,
@@ -142,7 +142,7 @@ def test_e2e_std(battery):
 
 def test_e2e_gradient(battery):
     size, res = _scale_pxl(battery)
-    oracles = test_ops._gradient_oracle(
+    oracles = orc._gradient_oracle(
         battery["filled"], size / CFG.scale_std, res, sig_ratio=1
     )
     names = [
@@ -171,7 +171,7 @@ def test_e2e_gradient(battery):
 @pytest.mark.parametrize("mode", ["valley", "ridge"])
 def test_e2e_valley_ridge(battery, mode):
     size, _ = _scale_pxl(battery)
-    oracles = test_ops._valley_ridge_oracle(battery["filled"], size, mode, FLATS)
+    oracles = orc._valley_ridge_oracle(battery["filled"], size, mode, FLATS)
     upper = mode.upper()
     norm = _check(
         battery["files"][mode][0], battery, f"{upper}_NORM_{SCALE}M", "1",
@@ -194,7 +194,7 @@ def test_e2e_sx(battery):
     dx = float(res["x"].mean())
     dy = float(res["y"].mean())
     offsets, distances, border = sx_offsets(SX_AZIMUTH, SX_RADIUS, dx, dy)
-    oracle = test_ops._sx_oracle(
+    oracle = orc._sx_oracle(
         battery["filled"], offsets, distances, border, height=10.0
     )
     _check(

@@ -198,3 +198,61 @@ def test_streamed_skip_existing(tmp_path, dem_path):
                                   tile_rows=TILE_ROWS, skip_existing=True)
     assert again == first
     assert first[0].stat().st_mtime_ns == mtime
+
+
+# -- windowed ingest -> multi-device mesh --------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sops8():
+    import jax
+
+    from topo_descriptors_tpu.parallel.mesh import make_mesh
+    from topo_descriptors_tpu.parallel.sharded import ShardedOps
+
+    assert len(jax.devices()) >= 8
+    return ShardedOps(make_mesh(shape=(2, 4), devices=jax.devices()[:8]))
+
+
+def test_ingest_sharded_bounded_reads(dem_path, filled, sops8):
+    from topo_descriptors_tpu.parallel.runtime import ingest_sharded
+
+    _, dem = filled
+    with DemWindowReader(dem_path) as reader:
+        global_arr, valid = ingest_sharded(reader, sops8.mesh, fill=0.0)
+        # reads stayed per-row-block: never more than ceil(61/2) = 31 rows
+        assert reader.max_rows_read <= -(-61 // 2)
+    assert valid == (61, 74)
+    assert global_arr.shape == (62, 76)  # padded to the 2x4 mesh
+    np.testing.assert_array_equal(
+        np.asarray(global_arr)[:61, :74], dem.data.astype(np.float32)
+    )
+
+
+def test_sharded_streamed_tpi_std_parity(tmp_path, dem_path, filled, sops8):
+    # windowed ingest -> mesh -> banded output == in-RAM sharded pipeline
+    ind_nans, dem = filled
+    ram = pipeline.compute_tpi_std(dem, [300, 500], ind_nans=ind_nans,
+                                   outdir=tmp_path / "ram", sharded=sops8)
+    out = streaming.compute_tpi_std_sharded(
+        dem_path, [300, 500], sops8, outdir=tmp_path / "st", band_rows=16,
+    )
+    _compare(out, ram)
+
+
+def test_sharded_streamed_dem_parity(tmp_path, dem_path, filled, sops8):
+    ind_nans, dem = filled
+    ram = pipeline.compute_dem(dem, [400], ind_nans=ind_nans,
+                               outdir=tmp_path / "ram", sharded=sops8)
+    out = streaming.compute_dem_sharded(dem_path, [400], sops8,
+                                        outdir=tmp_path / "st", band_rows=16)
+    _compare(out, ram)
+
+
+def test_sharded_streamed_skip_existing(tmp_path, dem_path, sops8):
+    first = streaming.compute_tpi_std_sharded(dem_path, [300], sops8,
+                                              outdir=tmp_path)
+    again = streaming.compute_tpi_std_sharded(dem_path, [300], sops8,
+                                              outdir=tmp_path,
+                                              skip_existing=True)
+    assert again == first

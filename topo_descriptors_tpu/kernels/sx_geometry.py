@@ -54,34 +54,36 @@ def sx_source_idx_delta(azimuths, radius: float, dx: float, dy: float) -> np.nda
 def sx_bresenhamlines(start: np.ndarray, end: np.ndarray) -> np.ndarray:
     """All integer pixels on the lines from each start to the common end.
 
-    Reference semantics (topo.py:895-925): uniform steps along the dominant
-    axis, ``np.rint`` to the lattice, trimmed to the monotonically-approaching
-    prefix of each line, with the endpoint itself removed. Output is the
-    per-line pixel lists concatenated in line order, shape (K, 2) int
-    (golden: reference test_topo.py:31-54).
+    Behavioural contract (pinned by the reference's own golden vectors,
+    test_topo.py:31-54, mirrored in tests/test_kernels.py): each line is
+    sampled at uniform float steps that advance its dominant axis by one
+    pixel per step, ``np.rint``-snapped to the lattice, trimmed to the
+    monotonically-approaching (L1) prefix, and the endpoint itself removed.
+    Output is the per-line pixel lists concatenated in line order, (K, 2)
+    int. Degenerate lines (start == end) contribute nothing: every sample
+    is the endpoint, which is dropped.
     """
     start = np.asarray(start)
     end = np.asarray(end)
-    max_iter = np.max(np.max(np.abs(end - start), axis=1))
+    line_vec = end - start  # (N, 2); a common (2,) endpoint broadcasts
+    dominant = np.abs(line_vec).max(axis=1)  # dominant-axis length per line
+    n_steps = int(dominant.max()) if dominant.size else 0
 
-    slope = end - start
-    scale = np.max(np.abs(slope), axis=1).reshape(-1, 1)
-    zeroslope = (scale == 0).all(1)
-    scale[zeroslope] = np.ones(1)
-    normalizedslope = np.array(slope, dtype=np.double) / scale
-    normalizedslope[zeroslope] = np.zeros(slope[0].shape)
+    # per-step float increment; zero-length lines step in place
+    denom = np.where(dominant == 0, 1, dominant)[:, None]
+    unit = line_vec.astype(np.float64) / denom
+    unit[dominant == 0] = 0.0
 
-    stepseq = np.arange(1, max_iter + 1)
-    stepmat = np.tile(stepseq, (start.shape[1], 1)).T
-    blines = start[:, np.newaxis, :] + normalizedslope[:, np.newaxis, :] * stepmat
-    blines = np.array(np.rint(blines), dtype=start.dtype)
+    t = np.arange(1, n_steps + 1, dtype=np.float64)[None, :, None]
+    samples = start[:, None, :] + unit[:, None, :] * t  # (N, steps, 2)
+    samples = np.rint(samples).astype(start.dtype)
 
-    # keep only the prefix of each line that approaches the end point
-    bsum = np.abs(blines - end).sum(axis=2)
-    mask = np.diff(bsum, prepend=bsum[:, 0:1]) <= 0
-    blines = blines[mask].reshape(-1, start.shape[-1])
-    at_end = np.all(blines == end, axis=1)
-    return blines[~at_end]
+    # rint can stall or bounce past the endpoint on shallow lines: keep only
+    # the prefix whose L1 distance to the endpoint never increases
+    l1 = np.abs(samples - end).sum(axis=2)
+    approaching = np.diff(l1, prepend=l1[:, :1]) <= 0
+    kept = samples[approaching].reshape(-1, start.shape[-1])
+    return kept[~np.all(kept == end, axis=1)]
 
 
 def sx_offsets(

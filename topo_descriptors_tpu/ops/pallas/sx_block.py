@@ -204,7 +204,9 @@ def _sx_sweep_kernel(
             def body(k, acc, c=c, r=r):
                 oy = oy_ref[a, k]
                 inv = inv_ref[a, k]
-                oy_hi = (oy // 8) * 8  # provably 8-aligned dynamic start
+                # assert the 8-alignment so Mosaic emits a plain aligned
+                # vector load instead of a per-sublane dynamic rotate
+                oy_hi = pl.multiple_of((oy // 8) * 8, 8)
                 tile = scratch[slot, pl.ds(oy_hi, by + 8), c : c + bx]
                 shifted = tile[r : r + by, :]  # static sublane remainder
                 return jnp.fmax(acc, (shifted - base) * inv)

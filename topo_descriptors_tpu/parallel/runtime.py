@@ -66,6 +66,65 @@ def initialize(
     )
 
 
+def ingest_sharded(reader, mesh, fill: float = 0.0):
+    """Windowed ingest straight onto the mesh: read only each local device's
+    block and assemble the global sharded DEM without ANY host materializing
+    the full mosaic.
+
+    ``reader`` is any window reader (``.shape`` + 2-D contiguous slicing,
+    e.g. :class:`~topo_descriptors_tpu.io.windowed.DemWindowReader`). Each
+    process walks the mesh rows that contain one of its local devices, reads
+    that row-block's columns per device, and ``device_put``s the block —
+    peak host memory is ONE device block (plus the reader's row window).
+    Grids that don't divide the mesh are padded bottom/right with ``fill``
+    per block (the valid-aware sharded ops handle the rest; see
+    ``ShardedOps`` valid_shape).
+
+    Returns ``(global_sharded_array, valid_shape)``. This is the multi-host
+    ingest path for continental mosaics (SURVEY.md §7 steps 6-7): each host
+    opens the same file (or its own region replica) and reads only its
+    devices' windows, composing with :func:`initialize` + ``ShardedOps``.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    h, w = reader.shape
+    gy, gx = mesh.devices.shape
+    bh = -(-h // gy)  # padded block sizes
+    bw = -(-w // gx)
+    sharding = NamedSharding(mesh, P("gy", "gx"))
+    proc = jax.process_index()
+
+    arrays = []
+    devices = []
+    for i in range(gy):
+        row_devs = [
+            (j, mesh.devices[i, j])
+            for j in range(gx)
+            if mesh.devices[i, j].process_index == proc
+        ]
+        if not row_devs:
+            continue
+        r0, r1 = i * bh, min((i + 1) * bh, h)
+        for j, dev in row_devs:
+            c0, c1 = j * bw, min((j + 1) * bw, w)
+            block = np.asarray(
+                reader[r0:r1, c0:c1], dtype=np.float32
+            )
+            if block.shape != (bh, bw):
+                block = np.pad(
+                    block,
+                    ((0, bh - block.shape[0]), (0, bw - block.shape[1])),
+                    mode="constant",
+                    constant_values=fill,
+                )
+            arrays.append(jax.device_put(block, dev))
+            devices.append(dev)
+    global_arr = jax.make_array_from_single_device_arrays(
+        (gy * bh, gx * bw), sharding, arrays
+    )
+    return global_arr, (h, w)
+
+
 def host_local_to_global(mesh, local_blocks: Sequence[np.ndarray]):
     """Assemble a global sharded array from per-host local DEM blocks.
 
