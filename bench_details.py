@@ -111,8 +111,50 @@ def main():
         )
         print(lines[-1], flush=True)
 
-    # 5. continental scale
+    # 5. valley/ridge at 2 km (static bank, MXU) and 20 km (streamed FFT)
+    from topo_descriptors_tpu.ops.valley_ridge import (
+        bank_nbytes,
+        valley_ridge_streamed,
+    )
+    from topo_descriptors_tpu.utils.profiling import Roofline
+
+    roof = Roofline()
+    for scale_m, iters in ((2000.0, 3), (20000.0, 1)):
+        vsize = int(round_up_to_odd(scale_m / 30.0))
+        streamed = bank_nbytes(vsize, 3) > 1 << 30
+        label = "streamed FFT" if streamed else "bank MXU"
+
+        if streamed:
+            # manages its own per-chunk jits; sync on a scalar so the timing
+            # measures compute, not a full-field fetch through the relay
+            def vrun():
+                outs = valley_ridge_streamed(dem, vsize, "valley")
+                float(jnp.sum(outs[0]))
+        else:
+            vjit = jax.jit(lambda x: ops.valley_ridge(x, vsize, "valley"))
+
+            def vrun():
+                float(jnp.sum(vjit(dem)[0]))
+
+        vrun()  # compile
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            vrun()
+        t = (time.perf_counter() - t0) / iters
+        ls = roof.valley_ridge_light_speed_ms(
+            *dem_np.shape, vsize, method="fft" if streamed else "direct"
+        ) / 1e3
+        lines.append(
+            f"| valley/ridge 180 angles, {scale_m/1000:.0f} km "
+            f"(size {vsize}, {label}) | {t:.2f} s ({mpix/t:.1f} Mpix/s); "
+            f"roofline {ls:.2f} s -> {ls/t*100:.0f}% of ceiling |"
+        )
+        print(lines[-1], flush=True)
+
+    # 6. continental scale
     o5, d5, b5 = sx_offsets(0.0, 500.0, 30.0, 30.0)
+    with np.errstate(divide="ignore"):
+        n_groups = len(set((1.0 / d5).astype(np.float32).tolist()))
     for n in (4096, 8192):
         big = jnp.asarray(synthetic_dem(n, n, seed=2))
         bmp = n * n / 1e6
@@ -120,10 +162,12 @@ def main():
         t_sx = amort(
             jax.jit(lambda x: ops.sx(x, o5, d5, b5, method="pallas")), big, iters=8
         )
+        ls_sx = roof.sx_light_speed_ms(n * n, len(d5), n_groups)
         lines.append(
             f"| {n}x{n} ({bmp:.0f} Mpix): TPI-2000m / Sx-500m (Pallas) | "
             f"{t_tpi*1e3:.1f} ms ({bmp/t_tpi:.0f} Mpix/s) / "
-            f"{t_sx*1e3:.1f} ms ({bmp/t_sx:.0f} Mpix/s) |"
+            f"{t_sx*1e3:.1f} ms ({bmp/t_sx:.0f} Mpix/s, grouped-VPU roofline "
+            f"{ls_sx:.1f} ms -> {ls_sx/(t_sx*1e3)*100:.0f}%) |"
         )
         print(lines[-1], flush=True)
 

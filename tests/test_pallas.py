@@ -176,3 +176,27 @@ def test_sx_auto_backend_selects_xla_off_tpu(dem_tiny):
     out = np.asarray(jax.jit(lambda x: ops.sx(x, o, d, b))(dem_tiny))
     ref = np.asarray(jax.jit(lambda x: ops.sx(x, o, d, b, method="xla"))(dem_tiny))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_sx_auto_block_by_ray_count():
+    # measured register-pressure cliff (sx_block.auto_block docstring):
+    # K=240 (r=500 m) runs fastest at (256, 512); K=986 (r=2000 m) makes
+    # Mosaic spill there and needs the small block
+    assert sxb.auto_block(240) == (256, 512)
+    assert sxb.auto_block(986) == (64, 256)
+
+
+def test_sx_sweep_auto_routing_rules():
+    # on TPU, auto routes small-K wide fans and any <=4-azimuth fan to the
+    # per-azimuth constant-offset kernels, large-K wide fans to the scan
+    # (measured v5e numbers in the sx_sweep docstring); off-TPU always xla
+    from topo_descriptors_tpu.ops.sx import _sweep_auto_method
+
+    wide_small_k = kernels.sx_sweep_offsets(
+        list(range(0, 360, 60)), 200.0, 30.0, 30.0
+    )[0]
+    assert wide_small_k.shape[1] <= 256
+    assert _sweep_auto_method(*wide_small_k.shape[:2], True) == "pallas"
+    assert _sweep_auto_method(2, 986, True) == "pallas"
+    assert _sweep_auto_method(36, 986, True) == "xla"
+    assert _sweep_auto_method(36, 240, False) == "xla"

@@ -237,7 +237,18 @@ def sx_sweep_pallas(
     (topo.py:760) with a single device program whose halo windows are read
     from HBM once per block — the XLA scan formulation re-streams a full
     (H, W) slice per ray offset per azimuth, so at wide fans this kernel is
-    ~A x lighter on HBM and runs at VPU roofline.
+    ~A x lighter on HBM.
+
+    Measured reality (v5e, 900x1440, 36 azimuths, round 3): HBM traffic is
+    not the binding constraint at these sizes — the runtime-offset row
+    shifts cost ~1 aligned dynamic-base VMEM load per ray plus ~1080
+    mostly-empty scalar loops per (block, azimuth), and the kernel lands at
+    4.71 / 19.3 ms per azimuth (r=500/2000 m) vs the XLA scan's 1.60 / 6.30
+    and per-azimuth constant-offset :func:`sx_pallas`'s 0.56 / 5.9. It is
+    therefore opt-in (``method='pallas_sweep'``); ``'auto'`` never routes
+    here. Kept because it is the only formulation whose compile cost is
+    fan-size-independent (one program for any fan) — the right trade on a
+    cold compile cache with very wide fans.
     """
     h, w = dem.shape
     by, bx = block
@@ -328,18 +339,38 @@ def sx_sweep_pallas(
     return jnp.where(interior[None], sx_deg, 0.0).astype(dem.dtype)
 
 
+def auto_block(n_rays: int) -> tuple:
+    """Block shape for :func:`sx_pallas`, chosen by ray count.
+
+    The kernel unrolls all K shifted slices into one instruction stream, so
+    register pressure grows with K x (vregs per block value). Measured on
+    v5e at the Basodino grid: K=240 (r=500 m) runs best at (256, 512)
+    [4.6 ms at 4096^2]; K=986 (r=2000 m) at (256, 512) makes Mosaic's
+    register allocator spill 181 MB and the compile itself takes ~9 min
+    before failing on VMEM — (64, 256) compiles in ~18 s and runs 5.9 ms
+    [(128, 256) half-spills: 50 ms]. The threshold is conservative: the
+    validated points are K=240 fast / K=986 cliff."""
+    return (256, 512) if n_rays <= 256 else (64, 256)
+
+
 def sx_pallas(
     dem: jax.Array,
     offsets: np.ndarray,
     distances: np.ndarray,
     border: int,
     height: float = 10.0,
-    block: tuple = (256, 512),
+    block: tuple | None = None,
     zero_border: bool = True,
-    n_acc: int = 4,
+    n_acc: int | None = None,
 ) -> jax.Array:
     """Drop-in replacement for :func:`ops.sx` backed by the Pallas kernel."""
     h, w = dem.shape
+    if block is None:
+        block = auto_block(len(np.asarray(distances)))
+    if n_acc is None:
+        # small blocks leave register headroom for more parallel maxima
+        # (measured at K=986/(64,256): n_acc=8 5.92 ms vs n_acc=4 6.22)
+        n_acc = 4 if block[0] >= 128 else 8
     by, bx = block
     b = int(border)
     gy, gx = _cdiv(h, by), _cdiv(w, bx)

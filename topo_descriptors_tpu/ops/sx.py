@@ -54,10 +54,12 @@ def sx(
     Backends (``method``): ``'xla'`` — scan of K dynamic slices (the only
     backend off-TPU); ``'pallas'`` — the block-resident Mosaic kernel
     (ops/pallas/sx_block.py), which reads each halo window from HBM once
-    instead of streaming the array per offset. Measured on v5e the Pallas
-    kernel wins at every size (256^2: 1.35 vs 2.03 ms; Basodino 900x1440:
-    1.60 vs 2.43 ms; 4096^2: 11.1 vs 76.8 ms), so ``'auto'`` is Pallas
-    whenever a TPU is attached.
+    instead of streaming the array per offset, with a block shape picked by
+    ray count (``sx_block.auto_block`` — large ray fans need small blocks or
+    Mosaic's register allocator spills). Measured on v5e (round 3) the
+    Pallas kernel wins or ties at every size and radius (Basodino 900x1440:
+    r=500 m 0.56 vs 1.60 ms, r=2000 m 5.9 vs 6.3 ms; 4096^2 r=500 m: 4.6 vs
+    76.8 ms), so ``'auto'`` is Pallas whenever a TPU is attached.
     """
     h, w = dem.shape
     if method == "auto":
@@ -103,6 +105,16 @@ def sx(
     return jnp.where(interior, sx_deg, 0.0).astype(dem.dtype)
 
 
+def _sweep_auto_method(n_az: int, kmax: int, on_tpu: bool) -> str:
+    """Backend choice for :func:`sx_sweep` — see its docstring for the
+    measured numbers behind each branch."""
+    if not on_tpu:
+        return "xla"
+    if n_az <= 4 or kmax <= 256:
+        return "pallas"
+    return "xla"
+
+
 def sx_sweep(
     dem: jax.Array,
     offsets: np.ndarray,
@@ -128,25 +140,29 @@ def sx_sweep(
 
     Backends (``method``): ``'xla'`` — lax.map over azimuths of the K-offset
     scan; ``'pallas'`` — per-azimuth :func:`sx_pallas` calls (offsets baked
-    as constants, one Mosaic compile *per azimuth*); ``'pallas_sweep'`` — the
-    CSR whole-fan kernel (ops/pallas/sx_block.py `sx_sweep_pallas`): ray
-    tables live in SMEM as runtime data, so ONE compiled program serves the
-    entire fan and each block's halo window is DMA'd once for all azimuths.
-    ``'auto'`` on TPU picks constant-offset Pallas for small fans (<= 4
-    azimuths, where per-azimuth compiles amortize and static offsets beat
-    SMEM reads) and the one-program XLA scan beyond that: measured on
-    v5e (900x1440, 36 azimuths), the CSR kernel's runtime-offset row shifts
-    run it at 4.09/16.9 ms per azimuth (r=500/2000 m) vs the XLA scan's
-    1.76/6.45 ms, so it stays opt-in until its shift path is cheaper.
+    as constants, one Mosaic compile *per azimuth*, all cached persistently);
+    ``'pallas_sweep'`` — the CSR whole-fan kernel (ops/pallas/sx_block.py
+    `sx_sweep_pallas`): ray tables live in SMEM as runtime data, so ONE
+    compiled program serves the entire fan and each block's halo window is
+    DMA'd once for all azimuths.
+
+    ``'auto'`` on TPU routes by measured v5e numbers (900x1440, 36 azimuths,
+    round 3): per-azimuth constant-offset Pallas wins for small-radius fans
+    (r=500 m: 0.56 ms/azimuth vs the XLA scan's 1.60 and the CSR kernel's
+    4.71; its 36 Mosaic compiles total ~20 s, amortized by the persistent
+    compile cache) and for any fan of <= 4 azimuths; wide fans with large
+    ray counts go to the one-program XLA scan (r=2000 m: 6.30 ms/azimuth vs
+    5.9 for per-azimuth Pallas — a tie on device, but 36 separate K=986
+    compiles cost ~11 min cold vs the scan's 6 s). The CSR kernel stays
+    opt-in: even with static-residue (column, oy mod 8) grouping its ~1080
+    near-empty scalar loops per azimuth leave it at 19.3 ms/azimuth at
+    r=2000 m — the runtime-offset formulation loses to both alternatives at
+    every measured radius.
     """
     h, w = dem.shape
     if method == "auto":
-        if not _on_tpu():
-            method = "xla"
-        elif np.asarray(offsets).shape[0] <= 4:
-            method = "pallas"
-        else:
-            method = "xla"
+        n_az, kmax = np.asarray(offsets).shape[:2]
+        method = _sweep_auto_method(n_az, kmax, _on_tpu())
     if method == "pallas_sweep":
         from topo_descriptors_tpu.ops.pallas.sx_block import sx_sweep_pallas
 

@@ -61,10 +61,52 @@ class Roofline:
     mxu_tflops_f32: float = 49.0  # ~bf16/8 for HIGHEST-precision passes
     fft_tflops: float = 10.0  # measured practical FFT rate
 
-    def sx_light_speed_ms(self, pixels: int, n_offsets: int) -> float:
-        """Sx lower bound: VPU-bound at 3 ops per (pixel, ray offset)."""
-        flops = pixels * n_offsets * 3.0
+    def sx_light_speed_ms(
+        self, pixels: int, n_offsets: int, n_groups: Optional[int] = None
+    ) -> float:
+        """Sx lower bound, VPU-bound.
+
+        The naive shifted-max loop costs 3 ops per (pixel, ray): subtract,
+        multiply, fmax. The distance-grouped Pallas kernel
+        (ops/pallas/sx_block.py) hoists subtract/multiply out of each
+        equal-distance group, leaving one fmax per ray inside the group
+        (``K - G`` tree-fmax ops) plus 3 ops per group — ``K + 2G`` ops per
+        pixel total. Pass ``n_groups`` (``len(dist_table)``) to get the
+        grouped ceiling; omit it for the ungrouped 3K model (the XLA scan)."""
+        if n_groups is None:
+            flops = pixels * n_offsets * 3.0
+        else:
+            flops = pixels * (n_offsets + 2.0 * n_groups)
         return flops / (self.vpu_tflops * 1e12) * 1e3
+
+    def valley_ridge_light_speed_ms(
+        self,
+        h: int,
+        w: int,
+        size: int,
+        n_flats: int = 3,
+        n_angles: int = 180,
+        method: str = "direct",
+    ) -> float:
+        """Valley/ridge lower bound for one scale.
+
+        ``direct`` — the row-channel MXU mapping (conv2d_bank_rowchan): each
+        output pixel of each (angle, flat) plane contracts KY*KX taps, 2
+        flops each, on the MXU at f32-equivalent rate. ``fft`` — the
+        streamed path: per angle, F kernel-canvas rfft2s + the pointwise
+        product + one irfft2 batch at the linear-conv shape (the field
+        transform is hoisted and amortizes to ~0 across 180 angles)."""
+        from topo_descriptors_tpu.kernels.valley import rotated_extent
+
+        ky, kx = rotated_extent(size, np.arange(n_angles))
+        if method == "direct":
+            flops = 2.0 * h * w * ky * kx * n_flats * n_angles
+            return flops / (self.mxu_tflops_f32 * 1e12) * 1e3
+        fh = 1 << int(np.ceil(np.log2(h + ky - 1)))
+        fw = 1 << int(np.ceil(np.log2(w + kx - 1)))
+        n = fh * fw
+        per_angle = (2 * n_flats + 0.5) * 5.0 * n * np.log2(max(n, 2))
+        return n_angles * per_angle / (self.fft_tflops * 1e12) * 1e3
 
     def fft_conv_light_speed_ms(self, fft_pixels: int, n_transforms: int) -> float:
         """FFT-conv lower bound: 5 N log2 N real flops per transform."""
