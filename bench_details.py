@@ -118,23 +118,31 @@ def main():
     )
     from topo_descriptors_tpu.utils.profiling import Roofline
 
+    from topo_descriptors_tpu.config import CFG
+
     roof = Roofline()
     for scale_m, iters in ((2000.0, 3), (20000.0, 1)):
         vsize = int(round_up_to_odd(scale_m / 30.0))
-        streamed = bank_nbytes(vsize, 3) > 1 << 30
+        # route exactly like valley_ridge(method='auto') so the label and
+        # roofline model always match the path the op actually executes
+        streamed = bank_nbytes(vsize, 3) > CFG.valley_bank_max_bytes
         label = "streamed FFT" if streamed else "bank MXU"
 
         if streamed:
-            # manages its own per-chunk jits; sync on a scalar so the timing
-            # measures compute, not a full-field fetch through the relay
+            # manages its own per-chunk jits; sync on scalars (both outputs)
+            # so the timing measures compute, not a full-field fetch through
+            # the relay, and no work escapes the timed window
             def vrun():
                 outs = valley_ridge_streamed(dem, vsize, "valley")
                 float(jnp.sum(outs[0]))
+                float(jnp.sum(outs[1]))
         else:
             vjit = jax.jit(lambda x: ops.valley_ridge(x, vsize, "valley"))
 
             def vrun():
-                float(jnp.sum(vjit(dem)[0]))
+                outs = vjit(dem)
+                float(jnp.sum(outs[0]))
+                float(jnp.sum(outs[1]))
 
         vrun()  # compile
         t0 = time.perf_counter()

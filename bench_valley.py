@@ -22,6 +22,7 @@ def main():
     except Exception:
         pass
 
+    from topo_descriptors_tpu.config import CFG
     from topo_descriptors_tpu.geo import round_up_to_odd
     from topo_descriptors_tpu.io.synthetic import basodino_like_dem
     from topo_descriptors_tpu.ops.valley_ridge import (
@@ -40,20 +41,31 @@ def main():
     for scale_m, iters in ((2000.0, 5), (20000.0, 1)):
         size = int(round_up_to_odd(scale_m / 30.0))
         nbytes = bank_nbytes(size, 3)
-        streamed = nbytes > 1 << 30
+        # route exactly like valley_ridge(method='auto') so the label and
+        # roofline model always match the path the op actually executes
+        streamed = nbytes > CFG.valley_bank_max_bytes
         label = "streamed-fft" if streamed else "bank-mxu"
+
+        import jax.numpy as jnp
+
+        bank_jit = None if streamed else jax.jit(
+            lambda x: valley_ridge(x, size, "valley")
+        )
 
         def run():
             if streamed:
                 outs = valley_ridge_streamed(dem, size, "valley")
             else:
-                outs = valley_ridge(dem, size, "valley")
-            return np.asarray(outs[0]), np.asarray(outs[1])
+                outs = bank_jit(dem)
+            # sync on scalars (both outputs): a full-field np.asarray fetch
+            # through the relay costs many seconds and is not compute
+            float(jnp.sum(outs[0]))
+            float(jnp.sum(outs[1]))
 
         run()  # warmup/compile
         t0 = time.perf_counter()
         for _ in range(iters):
-            norm, _ = run()
+            run()
         sec = (time.perf_counter() - t0) / iters
         ls = roof.valley_ridge_light_speed_ms(
             h, w, size, method="fft" if streamed else "direct"

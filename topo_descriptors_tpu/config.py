@@ -63,6 +63,11 @@ class Config:
     # Reproduce the reference's int32-truncation quirk in the rolling std
     # (reference topo.py:300). Set False for a cleaner float32 variance.
     std_int32_parity: bool = True
+    # Persistent XLA/Mosaic compile cache. Some Sx fan configurations compile
+    # one Pallas kernel per azimuth (~0.5 s each cold); the persistent cache
+    # makes every later process pay ~nothing. Applied lazily the first time a
+    # descriptor op runs (see ensure_compilation_cache); set to "" to disable.
+    compilation_cache_dir: str = "~/.cache/topo_descriptors_tpu/jax"
 
     @classmethod
     def from_file(cls, path: str | os.PathLike) -> "Config":
@@ -88,6 +93,40 @@ class Config:
             else:
                 setattr(cfg, key, value)
         return cfg
+
+
+_CACHE_CONFIGURED = False
+
+
+def ensure_compilation_cache() -> None:
+    """Point JAX's persistent compile cache at ``CFG.compilation_cache_dir``.
+
+    Idempotent and cheap after the first call. Called by the descriptor ops
+    that are compile-heavy (per-azimuth Sx Pallas kernels, the valley/ridge
+    angle programs) so that a production user's *first* run already writes
+    the cache and every later process starts warm. An explicit
+    ``JAX_COMPILATION_CACHE_DIR`` env var wins; ``compilation_cache_dir: ""``
+    in the conf disables."""
+    global _CACHE_CONFIGURED
+    if _CACHE_CONFIGURED:
+        return
+    _CACHE_CONFIGURED = True
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return  # user already chose a cache location
+    path = CFG.compilation_cache_dir
+    if not path:
+        return
+    path = os.path.expanduser(path)
+    try:
+        import jax
+
+        Path(path).mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache even fast compiles: the per-azimuth Sx kernels are ~0.5 s
+        # each but there can be dozens per fan
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
 
 
 def _load_default() -> Config:

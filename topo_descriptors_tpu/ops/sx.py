@@ -65,8 +65,10 @@ def sx(
     if method == "auto":
         method = "pallas" if _on_tpu() else "xla"
     if method == "pallas":
+        from topo_descriptors_tpu.config import ensure_compilation_cache
         from topo_descriptors_tpu.ops.pallas.sx_block import sx_pallas
 
+        ensure_compilation_cache()
         return sx_pallas(dem, offsets, distances, border, height,
                          zero_border=zero_border)
     offsets = np.asarray(offsets)
@@ -107,10 +109,17 @@ def sx(
 
 def _sweep_auto_method(n_az: int, kmax: int, on_tpu: bool) -> str:
     """Backend choice for :func:`sx_sweep` — see its docstring for the
-    measured numbers behind each branch."""
+    measured numbers behind each branch.
+
+    The per-azimuth Pallas route costs one Mosaic compile per azimuth
+    (~0.5 s each cold, amortized by the persistent compile cache), so it is
+    bounded by a total compile budget: dense fans (e.g. 360 azimuths) would
+    otherwise pay minutes cold and embed hundreds of pallas_calls in one XLA
+    program. Beyond 64 azimuths the one-program XLA scan wins cold and is
+    within ~3x warm."""
     if not on_tpu:
         return "xla"
-    if n_az <= 4 or kmax <= 256:
+    if n_az <= 4 or (kmax <= 256 and n_az <= 64):
         return "pallas"
     return "xla"
 
@@ -150,7 +159,10 @@ def sx_sweep(
     round 3): per-azimuth constant-offset Pallas wins for small-radius fans
     (r=500 m: 0.56 ms/azimuth vs the XLA scan's 1.60 and the CSR kernel's
     4.71; its 36 Mosaic compiles total ~20 s, amortized by the persistent
-    compile cache) and for any fan of <= 4 azimuths; wide fans with large
+    compile cache that this op itself enables —
+    ``CFG.compilation_cache_dir``, on by default, so even a cold production
+    process pays the compiles exactly once) and for any fan of <= 4
+    azimuths; wide fans with large
     ray counts go to the one-program XLA scan (r=2000 m: 6.30 ms/azimuth vs
     5.9 for per-azimuth Pallas — a tie on device, but 36 separate K=986
     compiles cost ~11 min cold vs the scan's 6 s). The CSR kernel stays
@@ -169,8 +181,10 @@ def sx_sweep(
         return sx_sweep_pallas(dem, offsets, distances, border, height,
                                zero_border=zero_border)
     if method == "pallas":
+        from topo_descriptors_tpu.config import ensure_compilation_cache
         from topo_descriptors_tpu.ops.pallas.sx_block import sx_pallas
 
+        ensure_compilation_cache()
         offsets_np = np.asarray(offsets)
         dists_np = np.asarray(distances)
         outs = []
