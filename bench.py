@@ -33,7 +33,9 @@ def amortized_seconds(fn, arg, iters=30, warmup=3, repeats=3):
     import jax.numpy as jnp
 
     for _ in range(warmup):
-        np.asarray(fn(arg))  # full sync warmup (also compiles)
+        # scalar-reduction sync (also compiles): a full-field np.asarray
+        # fetch through the relay intermittently takes minutes
+        float(jnp.sum(fn(arg)))
     rates = []
     for _ in range(repeats):
         t0 = time.perf_counter()

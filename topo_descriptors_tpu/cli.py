@@ -97,54 +97,100 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _main_streamed(args) -> int:
-    """Fully out-of-core battery: disk -> banded device compute -> disk."""
+    """Fully out-of-core battery: disk -> banded device compute -> disk.
+
+    With ``--sharded``, windowed ingest goes straight onto the device mesh
+    (each process reads only its devices' blocks), every descriptor runs as
+    shard_map programs, and outputs stream back in row bands — the
+    full-Alps multi-host shape (BASELINE.md configs[4])."""
     from topo_descriptors_tpu import streaming
 
     if args.dem is None:
         raise SystemExit("--stream requires --dem (a file to read windowed)")
-    if args.sharded or args.tiled:
+    if args.tiled:
         raise SystemExit("--stream already implies banded execution; drop "
-                         "--sharded/--tiled")
+                         "--tiled")
     if args.crop_x or args.crop_y:
         raise SystemExit("--crop is not supported with --stream (crop the "
                          "streamed outputs afterwards)")
 
     args.scales = [int(s) if float(s).is_integer() else s for s in args.scales]
     args.outdir.mkdir(parents=True, exist_ok=True)
-    common = dict(outdir=args.outdir, tile_rows=args.stream,
-                  skip_existing=args.skip_existing)
+    common = dict(outdir=args.outdir, skip_existing=args.skip_existing)
     sig_ratios = args.sig_ratios * len(args.scales) \
         if len(args.sig_ratios) == 1 else args.sig_ratios
 
+    sops = None
+    if args.sharded:
+        from topo_descriptors_tpu.parallel.mesh import make_mesh
+        from topo_descriptors_tpu.parallel.sharded import ShardedOps
+
+        mesh = make_mesh(shape=tuple(args.mesh) if args.mesh else None)
+        logger.info(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+        sops = ShardedOps(mesh)
+    else:
+        common["tile_rows"] = args.stream
+
     with streaming.open_dem(args.dem) as dem:
         logger.info(f"streaming DEM {dem.shape}, crs {dem.grid.crs}, "
-                    f"bands of {args.stream} rows")
+                    + (f"mesh ingest" if sops else
+                       f"bands of {args.stream} rows"))
         written = []
         for name in args.descriptors:
             if name == "dem":
-                written += streaming.compute_dem(dem, args.scales, **common)
-            elif name == "tpi":
-                written += streaming.compute_tpi(
-                    dem, args.scales, smth_factors=args.smth_factors, **common
-                )
-            elif name == "std":
-                written += streaming.compute_std(
-                    dem, args.scales, smth_factors=args.smth_factors, **common
-                )
+                if sops:
+                    written += streaming.compute_dem_sharded(
+                        dem, args.scales, sops, **common)
+                else:
+                    written += streaming.compute_dem(
+                        dem, args.scales, **common)
+            elif name in ("tpi", "std"):
+                if sops:
+                    written += streaming.compute_tpi_std_sharded(
+                        dem, args.scales, sops, kinds=(name,),
+                        smth_factors=args.smth_factors, **common
+                    )
+                else:
+                    fn = (streaming.compute_tpi if name == "tpi"
+                          else streaming.compute_std)
+                    written += fn(
+                        dem, args.scales, smth_factors=args.smth_factors,
+                        **common
+                    )
             elif name == "gradient":
-                written += streaming.compute_gradient(
-                    dem, args.scales, sig_ratios=sig_ratios, **common
-                )
+                if sops:
+                    written += streaming.compute_gradient_sharded(
+                        dem, args.scales, sops, sig_ratios=sig_ratios,
+                        **common
+                    )
+                else:
+                    written += streaming.compute_gradient(
+                        dem, args.scales, sig_ratios=sig_ratios, **common
+                    )
             elif name in ("valley", "ridge"):
-                written += streaming.compute_valley_ridge(
-                    dem, args.scales, mode=name, flat_list=args.flat_list,
-                    smth_factors=args.smth_factors, **common
-                )
+                if sops:
+                    written += streaming.compute_valley_ridge_sharded(
+                        dem, args.scales, sops, mode=name,
+                        flat_list=args.flat_list,
+                        smth_factors=args.smth_factors, **common
+                    )
+                else:
+                    written += streaming.compute_valley_ridge(
+                        dem, args.scales, mode=name,
+                        flat_list=args.flat_list,
+                        smth_factors=args.smth_factors, **common
+                    )
             elif name == "sx":
-                written += streaming.compute_sx(
-                    dem, args.sx_azimuths, args.sx_radius,
-                    height=args.sx_height, **common
-                )
+                if sops:
+                    written += streaming.compute_sx_sharded(
+                        dem, args.sx_azimuths, args.sx_radius, sops,
+                        height=args.sx_height, **common
+                    )
+                else:
+                    written += streaming.compute_sx(
+                        dem, args.sx_azimuths, args.sx_radius,
+                        height=args.sx_height, **common
+                    )
     logger.info(f"wrote {len(written)} files to {args.outdir}")
     return 0
 

@@ -18,9 +18,11 @@ from topo_descriptors_tpu.kernels.valley import (
 )
 from topo_descriptors_tpu.kernels.sx_geometry import (
     sx_bresenhamlines,
+    sx_dedupe,
     sx_distance,
     sx_offsets,
     sx_source_idx_delta,
+    sx_sweep_dedupe,
     sx_sweep_offsets,
 )
 
@@ -37,5 +39,7 @@ __all__ = [
     "sx_source_idx_delta",
     "sx_bresenhamlines",
     "sx_offsets",
+    "sx_dedupe",
+    "sx_sweep_dedupe",
     "sx_sweep_offsets",
 ]

@@ -132,6 +132,50 @@ def sx_offsets(
     return offsets, distances, border
 
 
+def sx_dedupe(
+    offsets: np.ndarray, distances: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Drop duplicate ray pixels from one fan's offset table — EXACT.
+
+    The reference's azimuth arc (default 10 deg over 15 rays,
+    topo.py:832-834) spaces neighbouring rays well under one pixel apart
+    until radius ~80 px, so the concatenated Bresenham tables are massively
+    redundant: at 30 m resolution the fan holds 240 rows but only 32 unique
+    pixels at r=500 m, 986 vs 464 at r=2000 m. Deduplication changes
+    nothing: the distance is a pure function of the offset (the window
+    lookup at that pixel, topo.py:861-878), duplicates therefore carry
+    identical candidate values, and the nanmax over candidates
+    (topo.py:951) is idempotent. Sorted lexicographically for deterministic
+    tables -> stable jit/Mosaic cache keys.
+    """
+    offs = np.asarray(offsets)
+    dists = np.asarray(distances)
+    uniq, idx = np.unique(offs, axis=0, return_index=True)
+    return uniq.astype(offs.dtype), dists[idx]
+
+
+def sx_sweep_dedupe(
+    offsets: np.ndarray, distances: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-azimuth :func:`sx_dedupe` over a padded (A, Kmax, 2) sweep
+    table; the result is re-padded rectangular to the new (smaller) Kmax
+    with the same zero-offset/NaN-distance convention."""
+    offsets = np.asarray(offsets)
+    distances = np.asarray(distances)
+    per = []
+    for a in range(offsets.shape[0]):
+        pad_rows = np.isnan(distances[a]) & ~offsets[a].any(axis=1)
+        o, d = sx_dedupe(offsets[a][~pad_rows], distances[a][~pad_rows])
+        per.append((o, d))
+    kmax = max(o.shape[0] for o, _ in per)
+    out_o = np.zeros((len(per), kmax, 2), dtype=offsets.dtype)
+    out_d = np.full((len(per), kmax), np.nan)
+    for a, (o, d) in enumerate(per):
+        out_o[a, : o.shape[0]] = o
+        out_d[a, : d.shape[0]] = d
+    return out_o, out_d
+
+
 def sx_sweep_offsets(
     azimuths,
     radius: float,

@@ -220,6 +220,217 @@ def _sx_sweep_kernel(
     out_ref[0] = _tree_fmax(accs)
 
 
+def _sx_fan_kernel(
+    dem_ref,  # padded DEM, stays in HBM/ANY
+    out_ref,  # (A_g, BY, BX) VMEM output block: max ratio per azimuth
+    scratch,  # (2, wy, wx) VMEM halo windows (double-buffered)
+    sem,  # (2,) DMA semaphores
+    *,
+    border: int,
+    block: tuple,
+    window_shape: tuple,
+    tables: tuple,  # per azimuth: static ((inv, ((oy, ox), ...)), ...)
+    height: float,
+    grid: tuple,
+    n_acc: int,
+):
+    """Whole-fan Sx with STATIC per-azimuth tables — one Mosaic program for
+    a group of azimuths.
+
+    The per-azimuth kernel (:func:`_sx_kernel`) costs one tunnel compile
+    per azimuth geometry (measured 17-25 s each through the remote-compile
+    relay — a 36-azimuth fan pays ~12 min cold, and Mosaic binaries do not
+    persist in JAX's compilation cache). The CSR sweep kernel compiles once
+    but pays runtime for its dynamic shifts. This kernel takes the third
+    corner: the azimuth loop is *unrolled over static tables* inside one
+    program, so every shifted view stays a compile-time VMEM slice at full
+    tile throughput, and each block's halo window is DMA'd once for ALL
+    azimuths in the group.
+
+    Measured compile reality (round 4): Mosaic compile time through the
+    relay grows SUPER-linearly with the unrolled instruction stream — the
+    36-azimuth r=500 m fan (one program, ~1.3K deduped rays) did not
+    compile within 10 minutes, so batching azimuths does not beat 36
+    separate small programs cold. The fan kernel therefore stays an
+    explicit opt-in (``method='pallas_fan'``) for contexts that keep one
+    process alive and want the minimal per-window HBM traffic; ``'auto'``
+    wide fans use the one-program XLA scan instead.
+    """
+    by, bx = block
+    gy, gx = grid
+    wy, wx = window_shape
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    linear = i * gx + j
+    slot = jax.lax.rem(linear, 2)
+
+    def copy_for(lin, s):
+        bi = lin // gx
+        bj = jax.lax.rem(lin, gx)
+        return pltpu.make_async_copy(
+            dem_ref.at[pl.ds(bi * by, wy), pl.ds(bj * bx, wx)],
+            scratch.at[s],
+            sem.at[s],
+        )
+
+    @pl.when(linear == 0)
+    def _first():
+        copy_for(linear, slot).start()
+
+    copy_for(linear, slot).wait()
+
+    # prefetch the next block's window while this block's azimuths reduce
+    @pl.when(linear + 1 < gy * gx)
+    def _prefetch_next():
+        copy_for(linear + 1, 1 - slot).start()
+
+    window = scratch[slot]
+    base = window[border : border + by, border : border + bx] + jnp.float32(
+        height
+    )
+    for a, dist_table in enumerate(tables):
+        accs = [
+            jnp.full((by, bx), -jnp.inf, jnp.float32)
+            for _ in range(min(n_acc, len(dist_table)))
+        ]
+        for gi, (inv, group) in enumerate(dist_table):
+            best = _tree_fmax(
+                [window[oy : oy + by, ox : ox + bx] for oy, ox in group]
+            )
+            k = gi % len(accs)
+            accs[k] = jnp.fmax(accs[k], (best - base) * jnp.float32(inv))
+        out_ref[a] = _tree_fmax(accs)
+
+
+# Total rays baked into ONE fan program. Bounds both the Mosaic compile
+# time (instruction stream ~ total rays) and register pressure stays
+# per-azimuth (accumulators are written out between azimuths).
+FAN_RAY_BUDGET = 4096
+
+
+def sx_fan_pallas(
+    dem: jax.Array,
+    offsets: np.ndarray,
+    distances: np.ndarray,
+    border: int,
+    height: float = 10.0,
+    block: tuple | None = None,
+    zero_border: bool = True,
+    n_acc: int = 8,
+) -> jax.Array:
+    """Sx for a fan of azimuths -> (A, H, W) via static-table fan programs.
+
+    ``offsets`` (A, Kmax, 2) / ``distances`` (A, Kmax) from
+    ``sx_sweep_offsets`` (pad rows allowed). Azimuths are greedily grouped
+    so each Mosaic program holds <= FAN_RAY_BUDGET rays — the whole
+    reference fan (36 azimuths) compiles as 1 program at r=500 m (deduped
+    ~1.3K rays) and ~5 at r=2000 m (~16.7K), versus 36-72 for the
+    per-azimuth route. Each block's halo window is read from HBM once per
+    group for all its azimuths.
+    """
+    h, w = dem.shape
+    offsets = np.asarray(offsets)
+    distances = np.asarray(distances)
+    n_az, kmax = offsets.shape[:2]
+    b = int(border)
+    with np.errstate(divide="ignore"):  # distance-0 quirk (see ops.sx)
+        inv_all = (1.0 / distances).astype(np.float32)
+
+    tables = []
+    ray_counts = []
+    for a in range(n_az):
+        pad_rows = np.isnan(distances[a]) & ~offsets[a].any(axis=1)
+        real = ~pad_rows
+        groups: dict = {}
+        for (oy, ox), iv in zip(offsets[a][real], inv_all[a][real]):
+            groups.setdefault(float(iv), []).append(
+                (int(oy) + b, int(ox) + b)
+            )
+        tables.append(
+            tuple((iv, tuple(g)) for iv, g in sorted(groups.items()))
+        )
+        ray_counts.append(int(real.sum()))
+
+    if block is None:
+        # small blocks: the (A_g, by, bx) output lives whole in VMEM, so
+        # per-azimuth output tiles must stay tiny; (64, 256) is the
+        # validated no-spill shape for arbitrary ray counts (auto_block)
+        block = (64, 256)
+    by, bx = block
+    gy, gx = _cdiv(h, by), _cdiv(w, bx)
+    wy = -((-(by + 2 * b)) // 8) * 8
+    wx = -((-(bx + 2 * b)) // 128) * 128
+    pad_y = (gy - 1) * by + wy - (h + b)
+    pad_x = (gx - 1) * bx + wx - (w + b)
+    padded = jnp.pad(
+        dem,
+        ((b, pad_y), (b, pad_x)),
+        mode="constant",
+        constant_values=np.nan,
+    ).astype(jnp.float32)
+
+    # greedy azimuth groups bounded by the per-program ray budget and by
+    # the VMEM footprint of the (A_g, by, bx) output block
+    max_az = max(1, (6 << 20) // (by * bx * 4))
+    az_groups, cur, cnt = [], [], 0
+    for a in range(n_az):
+        if cur and (cnt + ray_counts[a] > FAN_RAY_BUDGET
+                    or len(cur) >= max_az):
+            az_groups.append(cur)
+            cur, cnt = [], 0
+        cur.append(a)
+        cnt += ray_counts[a]
+    if cur:
+        az_groups.append(cur)
+
+    parts = []
+    for azs in az_groups:
+        kernel = functools.partial(
+            _sx_fan_kernel,
+            border=b,
+            block=(by, bx),
+            window_shape=(wy, wx),
+            tables=tuple(tables[a] for a in azs),
+            height=float(height),
+            grid=(gy, gx),
+            n_acc=n_acc,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(gy, gx),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                (len(azs), by, bx),
+                lambda i, j: (0, i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, wy, wx), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            out_shape=jax.ShapeDtypeStruct(
+                (len(azs), gy * by, gx * bx), jnp.float32
+            ),
+            compiler_params=pltpu.CompilerParams(
+                # the double-buffered prefetch assumes strictly sequential
+                # grid order
+                dimension_semantics=("arbitrary", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+        )(padded)
+        parts.append(out[:, :h, :w])
+    acc = jnp.concatenate(parts, axis=0)
+
+    sx_deg = jnp.degrees(jnp.arctan(acc))
+    sx_deg = jnp.where(jnp.isneginf(acc), jnp.nan, sx_deg)
+    if not zero_border:
+        return sx_deg.astype(dem.dtype)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    interior = (yy >= b) & (yy < h - b) & (xx >= b) & (xx < w - b)
+    return jnp.where(interior[None], sx_deg, 0.0).astype(dem.dtype)
+
+
 def sx_sweep_pallas(
     dem: jax.Array,
     offsets: np.ndarray,
@@ -349,62 +560,44 @@ def auto_block(n_rays: int) -> tuple:
     register allocator spill 181 MB and the compile itself takes ~9 min
     before failing on VMEM — (64, 256) compiles in ~18 s and runs 5.9 ms
     [(128, 256) half-spills: 50 ms]. The threshold is conservative: the
-    validated points are K=240 fast / K=986 cliff."""
+    validated points are K=240 fast / K=986 cliff. Ray counts past
+    :data:`CHUNK_RAYS` normally never reach the cliff anymore — sx_pallas
+    splits them into per-chunk programs below the threshold."""
     return (256, 512) if n_rays <= 256 else (64, 256)
 
 
-def sx_pallas(
-    dem: jax.Array,
-    offsets: np.ndarray,
-    distances: np.ndarray,
-    border: int,
-    height: float = 10.0,
-    block: tuple | None = None,
-    zero_border: bool = True,
-    n_acc: int | None = None,
-) -> jax.Array:
-    """Drop-in replacement for :func:`ops.sx` backed by the Pallas kernel."""
-    h, w = dem.shape
-    if block is None:
-        block = auto_block(len(np.asarray(distances)))
-    if n_acc is None:
-        # small blocks leave register headroom for more parallel maxima
-        # (measured at K=986/(64,256): n_acc=8 5.92 ms vs n_acc=4 6.22)
-        n_acc = 4 if block[0] >= 128 else 8
-    by, bx = block
-    b = int(border)
-    gy, gx = _cdiv(h, by), _cdiv(w, bx)
+# Largest ray count baked into ONE Mosaic program. 240 is the validated
+# fast point for (256, 512) blocks (see auto_block); larger fans are split
+# into chunks of whole distance-groups, each its own small program, with
+# the running maxima combined by one XLA fmax — compile cost stays
+# O(K/CHUNK_RAYS) small programs instead of one register-spilling giant.
+CHUNK_RAYS = 240
 
-    # VMEM windows must be tile-aligned (8 sublanes x 128 lanes for f32):
-    # round the halo window up and over-pad the source so every DMA slice
-    # has the aligned shape.
+
+def _chunk_dist_table(dist_table, max_rays: int):
+    """Partition distance-groups into chunks of <= max_rays rays (a single
+    oversized group stays whole — auto_block then falls back to the small
+    block for that chunk)."""
+    chunks, cur, cnt = [], [], 0
+    for entry in dist_table:
+        n = len(entry[1])
+        if cur and cnt + n > max_rays:
+            chunks.append(tuple(cur))
+            cur, cnt = [], 0
+        cur.append(entry)
+        cnt += n
+    if cur:
+        chunks.append(tuple(cur))
+    return chunks
+
+
+def _sx_pallas_acc(padded, dist_table, b, block, n_acc, height, h, w):
+    """One Mosaic program over a pre-padded field for one chunk of
+    distance-groups -> raw max-ratio plane (cropped to (h, w))."""
+    by, bx = block
+    gy, gx = _cdiv(h, by), _cdiv(w, bx)
     wy = -((-(by + 2 * b)) // 8) * 8
     wx = -((-(bx + 2 * b)) // 128) * 128
-
-    # NaN-pad: ray halo on all sides plus bottom/right round-up to the tile
-    # grid and the aligned window; NaN candidates are ignored by fmax, and
-    # the rounded-up output region is cropped off afterwards.
-    pad_y = (gy - 1) * by + wy - (h + b)
-    pad_x = (gx - 1) * bx + wx - (w + b)
-    padded = jnp.pad(
-        dem,
-        ((b, pad_y), (b, pad_x)),
-        mode="constant",
-        constant_values=np.nan,
-    ).astype(jnp.float32)
-
-    offsets = np.asarray(offsets)
-    with np.errstate(divide="ignore"):  # distance-0 quirk (see ops.sx)
-        inv = (1.0 / np.asarray(distances)).astype(np.float32)
-    # group rays by identical 1/distance (see kernel docstring); sorted for
-    # a deterministic table -> stable jit cache keys
-    groups: dict = {}
-    for (oy, ox), iv in zip(offsets, inv):
-        groups.setdefault(float(iv), []).append((int(oy) + b, int(ox) + b))
-    dist_table = tuple(
-        (iv, tuple(g)) for iv, g in sorted(groups.items())
-    )
-
     kernel = functools.partial(
         _sx_kernel,
         border=b,
@@ -434,8 +627,81 @@ def sx_pallas(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(padded)
+    return out[:h, :w]
 
-    acc = out[:h, :w]
+
+def sx_pallas(
+    dem: jax.Array,
+    offsets: np.ndarray,
+    distances: np.ndarray,
+    border: int,
+    height: float = 10.0,
+    block: tuple | None = None,
+    zero_border: bool = True,
+    n_acc: int | None = None,
+) -> jax.Array:
+    """Drop-in replacement for :func:`ops.sx` backed by the Pallas kernel.
+
+    Fans wider than :data:`CHUNK_RAYS` rays are split into chunks of whole
+    distance-groups: each chunk compiles a small constant-offset program at
+    the fast (256, 512) block shape, the raw maxima combine with one XLA
+    ``fmax``, and the atan epilogue runs once — Mosaic's K~1000 register
+    cliff (auto_block) is never hit, and the compile cost is a few ~0.5 s
+    programs instead of one ~9 min spill. Measured v5e at the Basodino
+    grid, r=2000 m deduped fan (K=464, 2 chunks): 1.0 ms/azimuth vs 5.9 ms
+    for the single-program (64, 256) form.
+    """
+    h, w = dem.shape
+    offsets = np.asarray(offsets)
+    with np.errstate(divide="ignore"):  # distance-0 quirk (see ops.sx)
+        inv = (1.0 / np.asarray(distances)).astype(np.float32)
+    b = int(border)
+    # group rays by identical 1/distance (see kernel docstring); sorted for
+    # a deterministic table -> stable jit cache keys
+    groups: dict = {}
+    for (oy, ox), iv in zip(offsets, inv):
+        groups.setdefault(float(iv), []).append((int(oy) + b, int(ox) + b))
+    dist_table = tuple(
+        (iv, tuple(g)) for iv, g in sorted(groups.items())
+    )
+    n_rays = len(offsets)
+    if block is None and n_rays > CHUNK_RAYS:
+        chunks = _chunk_dist_table(dist_table, CHUNK_RAYS)
+    else:
+        chunks = [dist_table]
+    max_chunk = max(sum(len(g) for _, g in c) for c in chunks)
+    if block is None:
+        block = auto_block(max_chunk)
+    if n_acc is None:
+        # small blocks leave register headroom for more parallel maxima
+        # (measured at K=986/(64,256): n_acc=8 5.92 ms vs n_acc=4 6.22)
+        n_acc = 4 if block[0] >= 128 else 8
+    by, bx = block
+    gy, gx = _cdiv(h, by), _cdiv(w, bx)
+
+    # VMEM windows must be tile-aligned (8 sublanes x 128 lanes for f32):
+    # round the halo window up and over-pad the source so every DMA slice
+    # has the aligned shape.
+    wy = -((-(by + 2 * b)) // 8) * 8
+    wx = -((-(bx + 2 * b)) // 128) * 128
+
+    # NaN-pad: ray halo on all sides plus bottom/right round-up to the tile
+    # grid and the aligned window; NaN candidates are ignored by fmax, and
+    # the rounded-up output region is cropped off afterwards.
+    pad_y = (gy - 1) * by + wy - (h + b)
+    pad_x = (gx - 1) * bx + wx - (w + b)
+    padded = jnp.pad(
+        dem,
+        ((b, pad_y), (b, pad_x)),
+        mode="constant",
+        constant_values=np.nan,
+    ).astype(jnp.float32)
+
+    acc = None
+    for chunk in chunks:
+        part = _sx_pallas_acc(padded, chunk, b, block, n_acc, height, h, w)
+        acc = part if acc is None else jnp.fmax(acc, part)
+
     sx_deg = jnp.degrees(jnp.arctan(acc))
     sx_deg = jnp.where(jnp.isneginf(acc), jnp.nan, sx_deg)
     if not zero_border:

@@ -211,3 +211,154 @@ def rotate_std_canvas(
     anom = jnp.where(m, val - mean, 0)
     var = jnp.sum(anom * anom, axis=(1, 2), keepdims=True) / cnt
     return anom * jax.lax.rsqrt(var)
+
+
+# --- gather-table rotation + quadrant symmetry (round-4 fast path) ----------
+
+
+def build_rotation_table(filtered: jax.Array) -> jax.Array:
+    """Pack the prefiltered (F, n, n) stack into a lane-contiguous gather
+    table of shape ``((n+2)^2, F*9)``.
+
+    :func:`rotate_std_canvas` costs 9 XLA gathers of 3-element slices per
+    canvas — measured 49.5 ms per (3, 943, 943)-from-667^2 rotation on v5e,
+    the whole-descriptor bottleneck at 20-100 km scales. XLA gather cost is
+    dominated by *index count*, not bytes: one gather pulling a contiguous
+    27-float lane slice per index runs the same rotation in 12.4 ms. Rows
+    of the table hold the full 3x3 interpolation footprint of every flat at
+    one (ystart, xstart) base position; the base grid is mirror-padded by 1
+    so the footprint never needs per-tap index reflection (the clamp in
+    :func:`rotate_std_canvas` bounds ystart/xstart to [-1, n-2], so one
+    mirror sample each side covers exactly the reachable overhang).
+    """
+    n_flats, n, _ = filtered.shape
+    fp = mirror_pad_1d(mirror_pad_1d(filtered, 1, 1, 1), 2, 1, 1)
+    m = n + 2
+    flat = fp.reshape(n_flats, m * m)
+    taps = [
+        jnp.roll(flat, -(a * m + b), axis=1)
+        for a in range(3)
+        for b in range(3)
+    ]  # value at base+offset, aligned to the base index
+    table = jnp.stack(taps, axis=0)  # (9, F, m^2)
+    return table.transpose(2, 1, 0).reshape(m * m, n_flats * 9)
+
+
+def rotate_std_canvas_table(
+    table: jax.Array,
+    n: int,
+    params: jax.Array,
+    canvas_shape: Tuple[int, int],
+) -> jax.Array:
+    """:func:`rotate_std_canvas` on the packed gather table — numerically
+    the same construction (identical footprint indices, weights and masked
+    re-standardization; float32 summation order differs only in the tap
+    accumulation), ~4x faster on v5e at large canvases."""
+    m = n + 2
+    n_flats = table.shape[1] // 9
+    ky_max, kx_max = canvas_shape
+    c, s, off_y, off_x, lo_y, lo_x, ky, kx = (params[i] for i in range(8))
+
+    oi = jax.lax.broadcasted_iota(jnp.float32, (ky_max, kx_max), 0) - lo_y
+    oj = jax.lax.broadcasted_iota(jnp.float32, (ky_max, kx_max), 1) - lo_x
+    ycoord = c * oi + s * oj + off_y
+    xcoord = -s * oi + c * oj + off_x
+
+    in_canvas = (oi >= 0) & (oi < ky) & (oj >= 0) & (oj < kx)
+    nm1 = jnp.float32(n - 1)
+    inside = (
+        in_canvas
+        & (ycoord >= 0) & (ycoord <= nm1)
+        & (xcoord >= 0) & (xcoord <= nm1)
+    )
+
+    ystart = jnp.floor(ycoord + 0.5).astype(jnp.int32) - 1
+    xstart = jnp.floor(xcoord + 0.5).astype(jnp.int32) - 1
+    ty = ycoord - (ystart.astype(jnp.float32) + 1.0)
+    tx = xcoord - (xstart.astype(jnp.float32) + 1.0)
+    wy = jnp.stack([0.5 * (0.5 - ty) ** 2, 0.75 - ty * ty,
+                    0.5 * (0.5 + ty) ** 2])
+    wx = jnp.stack([0.5 * (0.5 - tx) ** 2, 0.75 - tx * tx,
+                    0.5 * (0.5 + tx) ** 2])
+
+    ystart = jnp.clip(ystart, -1, n - 2)
+    xstart = jnp.clip(xstart, -1, n - 2)
+    # base index into the mirror-padded (m, m) grid: +1 per axis
+    idx = ((ystart + 1) * m + (xstart + 1)).reshape(-1)
+    g = jnp.take(table, idx, axis=0)  # (P, F*9)
+    g = g.reshape(ky_max, kx_max, n_flats, 3, 3)
+    w = wy[:, None] * wx[None, :]  # (3, 3, KY, KX)
+    val = jnp.einsum("abyx,yxfab->fyx", w, g)
+
+    m_in = inside[None]
+    cnt = jnp.sum(inside.astype(table.dtype))
+    mean = jnp.sum(jnp.where(m_in, val, 0), axis=(1, 2), keepdims=True) / cnt
+    anom = jnp.where(m_in, val - mean, 0)
+    var = jnp.sum(anom * anom, axis=(1, 2), keepdims=True) / cnt
+    return anom * jax.lax.rsqrt(var)
+
+
+def _flip_roll(c: jax.Array, axis: int, delta) -> jax.Array:
+    return jnp.roll(jnp.flip(c, axis=axis), delta, axis=axis)
+
+
+def canvas_variants(canvas: jax.Array, params: jax.Array):
+    """The four quadrant variants of one rotated-standardized canvas.
+
+    The valley/ridge base kernels are invariant under both axis flips
+    (``|row - mid|`` ramp, constant along columns — kernels/valley.py:24-48),
+    which makes three more of scipy's rotations exact lattice transforms of
+    a single interpolated canvas (verified to float32 rounding against
+    ``ndimage.rotate`` for all quadrants):
+
+    ``R(90+t) = rot90(R(t))``, ``R(180-t) = flip(R(t))``,
+    ``R(90-t) = flip(rot90(R(t)))``.
+
+    Flips are about the *canvas* centre; when the angle's true extent and
+    the canvas differ in parity the kernel sits one pixel off-centre and
+    the flip must be followed by a 1-pixel roll (the 'same'-anchor rule
+    ``lo = (kmax-1)//2 - (k-1)//2`` is not flip-symmetric for mixed
+    parity). Returns ``(R(t), R(90+t), R(180-t), R(90-t))`` for a
+    ``(..., K, K)`` canvas (square canvases only — rotated extents of
+    square kernels are square).
+    """
+    kmax = canvas.shape[-1]
+    ky = params[6].astype(jnp.int32)
+    delta = (ky - 1) % 2 - (kmax - 1) % 2
+    v90p = _flip_roll(jnp.swapaxes(canvas, -1, -2), -2, delta)
+    v180m = _flip_roll(canvas, -2, delta)
+    v90m = _flip_roll(v90p, -2, delta)
+    return canvas, v90p, v180m, v90m
+
+
+def quadrant_schedule(n_angles: int = 180):
+    """Decompose integer angles 0..n_angles-1 (degrees) into quadrant
+    rotations plus variant transforms.
+
+    Returns ``(q_angles, slot_angle, slot_valid)``: ``q_angles`` the sorted
+    unique base angles in [0, 45]; ``slot_angle[i, v]`` the angle covered
+    by variant ``v`` of base ``q_angles[i]`` (see :func:`canvas_variants`
+    order) and ``slot_valid[i, v]`` whether that slot is a real,
+    non-duplicate member of the angle set. 180 angles need 46 rotations.
+    """
+    variant_of = {}
+    for a in range(n_angles):
+        if a <= 45:
+            q, v = a, 0
+        elif a <= 90:
+            q, v = 90 - a, 3
+        elif a <= 135:
+            q, v = a - 90, 1
+        else:
+            q, v = 180 - a, 2
+        slots = variant_of.setdefault(q, {})
+        if v not in slots:  # a=45/90/135 are reachable twice; keep first
+            slots[v] = a
+    q_angles = sorted(variant_of)
+    slot_angle = np.zeros((len(q_angles), 4), np.float32)
+    slot_valid = np.zeros((len(q_angles), 4), bool)
+    for i, q in enumerate(q_angles):
+        for v, a in variant_of[q].items():
+            slot_angle[i, v] = a
+            slot_valid[i, v] = True
+    return np.asarray(q_angles, np.float32), slot_angle, slot_valid

@@ -51,6 +51,11 @@ def sx(
     The infinities here reproduce that: (z)*(1/0)=+/-inf -> +/-90, and
     0*inf = NaN is dropped by fmax exactly like the reference's nanmax.
 
+    The offset table is deduplicated first
+    (:func:`~topo_descriptors_tpu.kernels.sx_geometry.sx_dedupe` — exact:
+    duplicates carry identical candidates and the max is idempotent), which
+    shrinks the reference's fan tables 2-7x at 30 m resolution.
+
     Backends (``method``): ``'xla'`` — scan of K dynamic slices (the only
     backend off-TPU); ``'pallas'`` — the block-resident Mosaic kernel
     (ops/pallas/sx_block.py), which reads each halo window from HBM once
@@ -61,6 +66,9 @@ def sx(
     r=500 m 0.56 vs 1.60 ms, r=2000 m 5.9 vs 6.3 ms; 4096^2 r=500 m: 4.6 vs
     76.8 ms), so ``'auto'`` is Pallas whenever a TPU is attached.
     """
+    from topo_descriptors_tpu.kernels.sx_geometry import sx_dedupe
+
+    offsets, distances = sx_dedupe(offsets, distances)
     h, w = dem.shape
     if method == "auto":
         method = "pallas" if _on_tpu() else "xla"
@@ -111,15 +119,16 @@ def _sweep_auto_method(n_az: int, kmax: int, on_tpu: bool) -> str:
     """Backend choice for :func:`sx_sweep` — see its docstring for the
     measured numbers behind each branch.
 
-    The per-azimuth Pallas route costs one Mosaic compile per azimuth
-    (~0.5 s each cold, amortized by the persistent compile cache), so it is
-    bounded by a total compile budget: dense fans (e.g. 360 azimuths) would
-    otherwise pay minutes cold and embed hundreds of pallas_calls in one XLA
-    program. Beyond 64 azimuths the one-program XLA scan wins cold and is
-    within ~3x warm."""
+    Small fans take the per-azimuth constant-offset kernels (fastest warm,
+    and <= 4 Mosaic compiles cold); wide fans take the one-program XLA scan
+    — each Mosaic compile costs 17-25 s through the remote-compile relay,
+    is not persisted by JAX's compilation cache, and static multi-azimuth
+    programs (sx_fan_pallas) compile super-linearly in total rays, so no
+    constant-offset formulation is viable cold at 36 azimuths. The Pallas
+    routes stay available by name for warm, long-running services."""
     if not on_tpu:
         return "xla"
-    if n_az <= 4 or (kmax <= 256 and n_az <= 64):
+    if n_az <= 4:
         return "pallas"
     return "xla"
 
@@ -148,33 +157,45 @@ def sx_sweep(
     :func:`topo_descriptors_tpu.kernels.sx_geometry.sx_sweep_offsets`.
 
     Backends (``method``): ``'xla'`` — lax.map over azimuths of the K-offset
-    scan; ``'pallas'`` — per-azimuth :func:`sx_pallas` calls (offsets baked
-    as constants, one Mosaic compile *per azimuth*, all cached persistently);
-    ``'pallas_sweep'`` — the CSR whole-fan kernel (ops/pallas/sx_block.py
-    `sx_sweep_pallas`): ray tables live in SMEM as runtime data, so ONE
-    compiled program serves the entire fan and each block's halo window is
-    DMA'd once for all azimuths.
+    scan (one program per fan); ``'pallas_fan'`` — the static-table fan
+    kernel (ops/pallas/sx_block.py `sx_fan_pallas`): azimuth tables baked
+    as constants, azimuths grouped so each Mosaic program holds <=
+    FAN_RAY_BUDGET rays, each block's halo window DMA'd once per group for
+    all its azimuths; ``'pallas'`` — per-azimuth :func:`sx_pallas` calls
+    (one Mosaic compile *per azimuth*); ``'pallas_sweep'`` — the CSR
+    whole-fan kernel (ray tables in SMEM as runtime data — one program for
+    ANY fan, but its dynamic shifts cost ~3-4x at runtime).
 
-    ``'auto'`` on TPU routes by measured v5e numbers (900x1440, 36 azimuths,
-    round 3): per-azimuth constant-offset Pallas wins for small-radius fans
-    (r=500 m: 0.56 ms/azimuth vs the XLA scan's 1.60 and the CSR kernel's
-    4.71; its 36 Mosaic compiles total ~20 s, amortized by the persistent
-    compile cache that this op itself enables —
-    ``CFG.compilation_cache_dir``, on by default, so even a cold production
-    process pays the compiles exactly once) and for any fan of <= 4
-    azimuths; wide fans with large
-    ray counts go to the one-program XLA scan (r=2000 m: 6.30 ms/azimuth vs
-    5.9 for per-azimuth Pallas — a tie on device, but 36 separate K=986
-    compiles cost ~11 min cold vs the scan's 6 s). The CSR kernel stays
-    opt-in: even with static-residue (column, oy mod 8) grouping its ~1080
-    near-empty scalar loops per azimuth leave it at 19.3 ms/azimuth at
-    r=2000 m — the runtime-offset formulation loses to both alternatives at
-    every measured radius.
+    All fan tables are deduplicated first (sx_sweep_dedupe — exact, the
+    reference's arcs are massively redundant: 240 -> 32 rays at r=500 m,
+    986 -> 464 at r=2000 m on 30 m grids).
+
+    ``'auto'`` on TPU routes small fans (<= 4 azimuths) to the per-azimuth
+    kernels and wide fans to the one-program XLA scan. The governing
+    measurement (round 4): a Mosaic compile costs 17-25 s through the
+    remote-compile relay, is NOT persisted by JAX's compilation cache, and
+    multi-azimuth static-table programs compile super-linearly in total ray
+    count — so every constant-offset formulation pays minutes cold on a
+    wide fan, while the XLA scan compiles once per fan and, on deduped
+    tables, runs within a few x of the Pallas kernels' throughput. Pin
+    ``method='pallas'``/``'pallas_fan'`` for long-running services where
+    the per-geometry compiles amortize away; measured numbers live in
+    BENCH_DETAILS.md.
     """
+    from topo_descriptors_tpu.kernels.sx_geometry import sx_sweep_dedupe
+
+    offsets, distances = sx_sweep_dedupe(offsets, distances)
     h, w = dem.shape
     if method == "auto":
         n_az, kmax = np.asarray(offsets).shape[:2]
         method = _sweep_auto_method(n_az, kmax, _on_tpu())
+    if method == "pallas_fan":
+        from topo_descriptors_tpu.config import ensure_compilation_cache
+        from topo_descriptors_tpu.ops.pallas.sx_block import sx_fan_pallas
+
+        ensure_compilation_cache()
+        return sx_fan_pallas(dem, offsets, distances, border, height,
+                             zero_border=zero_border)
     if method == "pallas_sweep":
         from topo_descriptors_tpu.ops.pallas.sx_block import sx_sweep_pallas
 

@@ -311,10 +311,12 @@ class TiledRunner:
 
         At scales where the full rotated bank exceeds
         ``CFG.valley_bank_max_bytes`` the bank is not materialized at all;
-        each band runs the streamed angle-chunk path
+        each band runs the streamed on-device-rotation path
         (:func:`~topo_descriptors_tpu.ops.valley_ridge.valley_ridge_streamed`)
-        with shared global stats — note the host-side rotation work is then
-        repeated per band, so prefer few, tall bands for huge scales."""
+        with shared global stats. The rotation happens on device (round 3+),
+        so the per-band repeat costs only the ~46 quadrant gathers per
+        band's window shape — still prefer few, tall bands for huge scales
+        (each distinct window height compiles its own scan program)."""
         from topo_descriptors_tpu.kernels.valley import rotated_extent
         from topo_descriptors_tpu.ops.valley_ridge import bank_nbytes
 

@@ -401,24 +401,28 @@ def compute_valley_ridge(
                 arrays = ops.valley_ridge(
                     dem_dev, int(scale_pxl), mode, list(flat_list), sigmas[idx]
                 )
-            elif not bank_fits:
-                # the sharded program bakes the bank as a jit constant; at
+            elif not bank_fits and hasattr(sharded, "valley_ridge_streamed"):
                 # bank sizes past the budget (the reference's 20-100 km
-                # example scales) run the streamed single-chip path instead
-                logger.warning(
-                    f"valley/ridge bank at scale {scales[idx]}m exceeds "
-                    "CFG.valley_bank_max_bytes; running the streamed "
-                    "single-chip path instead of the sharded backend"
+                # example scales) stay ON the mesh via the streamed sharded
+                # formulation: on-device rotation, halo-extended VALID
+                # matmul-DFT convs, psum standardization
+                arrays = sharded.valley_ridge_streamed(
+                    dem_dev, int(scale_pxl), mode, list(flat_list),
+                    sigmas[idx], valid_shape=valid_shape if padded else None,
                 )
-                arrays = ops.valley_ridge(
-                    jnp.asarray(np.asarray(dem_ds.data, CFG.compute_dtype)),
-                    int(scale_pxl), mode, list(flat_list), sigmas[idx],
+            elif not bank_fits:  # TiledRunner routes internally by budget
+                arrays = sharded.valley_ridge(
+                    dem_dev, int(scale_pxl), mode, list(flat_list),
+                    sigmas[idx],
                 )
-                arrays = [np.asarray(a) for a in arrays]
-            else:
+            elif hasattr(sharded, "put"):  # ShardedOps
                 arrays = sharded.valley_ridge(
                     dem_dev, int(scale_pxl), mode, list(flat_list), sigmas[idx],
                     valid_shape=valid_shape if padded else None,
+                )
+            else:  # TiledRunner takes host arrays, no ragged-pad protocol
+                arrays = sharded.valley_ridge(
+                    dem_dev, int(scale_pxl), mode, list(flat_list), sigmas[idx]
                 )
             arrays = [to_host(a) for a in arrays]
         for array, name in zip(arrays, names):

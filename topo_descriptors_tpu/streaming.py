@@ -438,6 +438,188 @@ def compute_dem_sharded(dem, scales, sops, outdir=".", reassign_nans=True,
     return written
 
 
+def compute_gradient_sharded(
+    dem,
+    scales,
+    sops,
+    sig_ratios=1,
+    outdir=".",
+    reassign_nans: bool = True,
+    skip_existing: bool = False,
+    band_rows: int = 2048,
+):
+    """Windowed-ingest sharded gradient/slope/aspect driver (reference
+    compute_gradient, topo.py:534-594; composition per
+    :func:`compute_tpi_std_sharded`). All four outputs of a scale come from
+    one shard_map program and stream back in row bands."""
+    from topo_descriptors_tpu.parallel.runtime import ingest_sharded
+
+    dem = open_dem(dem)
+    check_dem(dem)
+    logger.info(
+        f"***Sharded-streaming gradients for scales {scales} meters***"
+    )
+    scales = _as_list(scales)
+    sig_ratios = _as_list(sig_ratios, len(scales))
+    scales_pxl, res_meters = geo.scale_to_pixel(scales, dem)
+    sigmas = scales_pxl / CFG.scale_std
+    all_units = ["1", "1", "degree", "degree"]
+
+    written = []
+    dem_s = None
+    for idx, sigma in enumerate(sigmas):
+        names = _gradient_names(scales[idx], sig_ratios[idx])
+        paths = [_existing(n, outdir) for n in names]
+        if skip_existing and all(paths):
+            logger.info(f"skipping existing {paths}")
+            written.extend(paths)
+            continue
+        if dem_s is None:
+            dem_s, valid_shape = ingest_sharded(dem, sops.mesh, fill=0.0)
+            vs = valid_shape if dem_s.shape != valid_shape else None
+        with timer(f"gradient scale {scales[idx]}m sharded-streamed"):
+            arrays = sops.gradient(
+                dem_s, float(sigma), res_meters, sig_ratios[idx],
+                valid_shape=vs,
+            )
+            for arr, name, units in zip(arrays, names, all_units):
+                path, writer = _open_writer(dem, name, outdir, units)
+                with writer:
+                    _fetch_banded(arr, valid_shape,
+                                  _Sink(writer, dem, reassign_nans),
+                                  band_rows)
+                logger.info(f"saved: {path}")
+                written.append(path)
+    return written
+
+
+def compute_valley_ridge_sharded(
+    dem,
+    scales,
+    sops,
+    mode: str,
+    flat_list=(0, 0.15, 0.3),
+    smth_factors=None,
+    outdir=".",
+    reassign_nans: bool = True,
+    skip_existing: bool = False,
+    band_rows: int = 2048,
+):
+    """Windowed-ingest sharded valley/ridge driver (reference
+    compute_valley_ridge, topo.py:317-386). Scales whose rotated bank fits
+    ``CFG.valley_bank_max_bytes`` run the precomputed-bank shard_map
+    program; larger scales stay ON the mesh via
+    :meth:`ShardedOps.valley_ridge_streamed` (on-device rotation,
+    halo-extended VALID matmul-DFT convolutions, psum standardization)."""
+    from topo_descriptors_tpu.ops.valley_ridge import bank_nbytes
+    from topo_descriptors_tpu.parallel.runtime import ingest_sharded
+
+    dem = open_dem(dem)
+    check_dem(dem)
+    logger.info(
+        f"***Sharded-streaming {mode} index for scales {scales} meters***"
+    )
+    scales = _as_list(scales)
+    smth_factors = _as_list(smth_factors, len(scales))
+    scales_pxl, _ = geo.scale_to_pixel(scales, dem)
+    sigmas = geo.get_sigmas(smth_factors, scales_pxl)
+
+    written = []
+    dem_s = None
+    for idx, scale_pxl in enumerate(scales_pxl):
+        names = _valley_ridge_names(scales[idx], mode, smth_factors[idx])
+        paths = [_existing(n, outdir) for n in names]
+        if skip_existing and all(paths):
+            logger.info(f"skipping existing {paths}")
+            written.extend(paths)
+            continue
+        if dem_s is None:
+            dem_s, valid_shape = ingest_sharded(dem, sops.mesh, fill=0.0)
+            vs = valid_shape if dem_s.shape != valid_shape else None
+        size = int(scale_pxl)
+        fits = bank_nbytes(size, len(flat_list)) <= CFG.valley_bank_max_bytes
+        with timer(f"{mode} scale {scales[idx]}m sharded-streamed"):
+            op = sops.valley_ridge if fits else sops.valley_ridge_streamed
+            arrays = op(
+                dem_s, size, mode, list(flat_list), sigmas[idx],
+                valid_shape=vs,
+            )
+            for arr, name in zip(arrays, names):
+                path, writer = _open_writer(dem, name, outdir, "1")
+                with writer:
+                    _fetch_banded(arr, valid_shape,
+                                  _Sink(writer, dem, reassign_nans),
+                                  band_rows)
+                logger.info(f"saved: {path}")
+                written.append(path)
+    return written
+
+
+def compute_sx_sharded(
+    dem,
+    azimuths,
+    radius: float,
+    sops,
+    height: float = 10.0,
+    azimuth_arc: float = 10.0,
+    azimuth_steps: int = 15,
+    radius_min: float = 0.0,
+    outdir=".",
+    reassign_nans: bool = False,
+    skip_existing: bool = False,
+    band_rows: int = 2048,
+):
+    """Windowed-ingest sharded Sx driver (reference compute_sx,
+    topo.py:715-772). A fan runs as ONE shard_map program — the full-ray
+    halo (multi-hop when rays span blocks) is exchanged once for every
+    azimuth. Ragged grids are NaN-padded (fmax ignores the pads exactly
+    like beyond-edge halo fill). ``reassign_nans`` defaults off like the
+    reference's sx wrapper (topo.py:760-772)."""
+    from topo_descriptors_tpu.parallel.runtime import ingest_sharded
+
+    dem = open_dem(dem)
+    check_dem(dem)
+    azimuths = _as_list(azimuths)
+    names = [_sx_name(radius, a) for a in azimuths]
+    if skip_existing and all(_existing(n, outdir) for n in names):
+        return [_existing(n, outdir) for n in names]
+    logger.info(
+        f"***Sharded-streaming Sx for azimuths {azimuths}, radius {radius}***"
+    )
+    _, res_meters = geo.scale_to_pixel(radius, dem)
+    dx = float(res_meters["x"].mean())
+    dy = float(res_meters["y"].mean())
+    dem_s, valid_shape = ingest_sharded(dem, sops.mesh, fill=np.nan)
+    vs = valid_shape if dem_s.shape != valid_shape else None
+
+    written = []
+    with timer(f"sx sharded-streamed {len(azimuths)} az r {radius}m"):
+        if len(azimuths) == 1:
+            offsets, distances, border = sx_offsets(
+                azimuths[0], radius, dx, dy, azimuth_arc, azimuth_steps,
+                radius_min,
+            )
+            out = sops.sx(dem_s, offsets, distances, border, height,
+                          valid_shape=vs)
+            stack = [out]
+        else:
+            offsets, distances, border = sx_sweep_offsets(
+                azimuths, radius, dx, dy, azimuth_arc, azimuth_steps,
+                radius_min,
+            )
+            out = sops.sx_sweep(dem_s, offsets, distances, border, height,
+                                valid_shape=vs)
+            stack = [out[a] for a in range(len(azimuths))]
+        for arr, name in zip(stack, names):
+            path, writer = _open_writer(dem, name, outdir, "degree")
+            with writer:
+                _fetch_banded(arr, valid_shape,
+                              _Sink(writer, dem, reassign_nans), band_rows)
+            logger.info(f"saved: {path}")
+            written.append(path)
+    return written
+
+
 class _StackSink:
     """Fan an (A, rows, W) band out to one writer per azimuth."""
 

@@ -60,6 +60,12 @@ class Roofline:
     vpu_tflops: float = 3.9  # f32 elementwise
     mxu_tflops_f32: float = 49.0  # ~bf16/8 for HIGHEST-precision passes
     fft_tflops: float = 10.0  # measured practical FFT rate
+    # sustained MAC rate of the partial-DFT matmul conv engine at HIGH
+    # (bf16x3) precision, measured on the valley kernel mix (dft_conv.py)
+    mm_tmacs: float = 18.5
+    # sustained 27-float-row gather rate of the packed rotation table
+    # (spline_rotate.build_rotation_table; measured 889K rows / 12.4 ms)
+    gather_rows_gps: float = 0.072
 
     def sx_light_speed_ms(
         self, pixels: int, n_offsets: int, n_groups: Optional[int] = None
@@ -90,15 +96,38 @@ class Roofline:
     ) -> float:
         """Valley/ridge lower bound for one scale.
 
+        ``mm_bank`` / ``mm_stream`` — the round-4 partial-DFT matmul engine
+        (ops/dft_conv.py) on the precomputed host bank / the on-device
+        quadrant rotation path: conv MACs per kernel at the aliased
+        transform lengths charged at the measured sustained matmul rate;
+        ``mm_stream`` adds the rotation-table gather floor (one 27-float
+        row per canvas pixel, ~46 rotations per 180 angles).
         ``direct`` — the row-channel MXU mapping (conv2d_bank_rowchan): each
         output pixel of each (angle, flat) plane contracts KY*KX taps, 2
         flops each, on the MXU at f32-equivalent rate. ``fft`` — the
-        streamed path: per angle, F kernel-canvas rfft2s + the pointwise
-        product + one irfft2 batch at the linear-conv shape (the field
-        transform is hoisted and amortizes to ~0 across 180 angles)."""
+        legacy streamed path: per angle, F kernel-canvas rfft2s + the
+        pointwise product + one irfft2 batch at the linear-conv shape (the
+        field transform is hoisted and amortizes to ~0 across 180 angles)."""
         from topo_descriptors_tpu.kernels.valley import rotated_extent
 
         ky, kx = rotated_extent(size, np.arange(n_angles))
+        if method in ("mm_bank", "mm_stream"):
+            sy, sx = (ky - 1) // 2, (kx - 1) // 2
+            fh = max(h + ky - 1 - sy, sy + h)
+            fw = max(w + kx - 1 - sx, sx + w)
+            nb = fw // 2 + 1
+            macs = (
+                ky * kx * nb * 2
+                + fh * ky * nb * 4
+                + h * fh * nb * 4
+                + h * nb * w * 2
+            )
+            ms = n_angles * n_flats * macs / (self.mm_tmacs * 1e12) * 1e3
+            if method == "mm_stream":
+                q = min(n_angles, 46)  # quadrant rotations (46 per 180)
+                rows = q * float(max(ky, kx)) ** 2
+                ms += rows / (self.gather_rows_gps * 1e9) * 1e3
+            return ms
         if method == "direct":
             flops = 2.0 * h * w * ky * kx * n_flats * n_angles
             return flops / (self.mxu_tflops_f32 * 1e12) * 1e3
