@@ -102,6 +102,38 @@ def test_cli_stream_runs(tmp_path):
     assert np.isfinite(sx0.data).all()
 
 
+def test_cli_stream_sharded_runs(tmp_path):
+    """--stream --sharded: windowed ingest straight onto the device mesh,
+    shard_map descriptors, banded NetCDF output (round-4 composition —
+    BASELINE configs[4]'s full-Alps shape on the 8-virtual-device mesh)."""
+    from topo_descriptors_tpu.io import basodino_like_dem, write_raster
+
+    dem_path = tmp_path / "dem.nc"
+    write_raster(basodino_like_dem(ny=64, nx=64, projected=True), dem_path)
+    rc = main(
+        [
+            "--dem", str(dem_path),
+            "--descriptors", "dem", "tpi", "std", "gradient", "valley", "sx",
+            "--scales", "300",
+            "--sx-azimuths", "0", "180",
+            "--sx-radius", "200",
+            "--outdir", str(tmp_path),
+            "--stream", "16",
+            "--sharded", "--mesh", "2", "4",
+        ]
+    )
+    assert rc == 0
+    for name in (
+        "topo_DEM_300M.nc", "topo_TPI_300M.nc", "topo_STD_300M.nc",
+        "topo_SLOPE_300M_SIGRATIO1.nc", "topo_VALLEY_NORM_300M.nc",
+        "topo_SX_RADIUS200_AZIMUTH0.nc",
+    ):
+        assert (tmp_path / name).exists(), name
+    tpi = read_raster(tmp_path / "topo_TPI_300M.nc")
+    assert tpi.data.shape == (64, 64)
+    assert np.isfinite(tpi.data).any()
+
+
 def test_cli_stream_requires_dem(tmp_path):
     import pytest
 
