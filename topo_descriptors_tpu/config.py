@@ -48,8 +48,11 @@ class Config:
     # (distinct run widths) slice adds per pixel, exact and far below both
     # the direct conv's O(size^2) FMAs and the FFT's transpose traffic.
     sat_conv_min_taps: int = 128
-    # valley/ridge row-channel MXU conv: largest row-stack (KY copies of the
-    # field) to keep in HBM before switching to the FFT formulation.
+    # (legacy, round <= 3) valley/ridge row-channel MXU conv: largest
+    # row-stack to keep in HBM before the FFT formulation. The round-4
+    # default is the partial-DFT matmul engine (ops/dft_conv.py); the
+    # row-channel and FFT paths remain reachable via method='direct'/'fft'
+    # for cross-checks but no automatic route consults this knob anymore.
     rowchan_max_bytes: int = 1536 * 1024 * 1024
     # valley/ridge: largest precomputed rotated-kernel bank to bake into the
     # device program as one static constant. Beyond this (the reference's own
