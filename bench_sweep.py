@@ -21,7 +21,8 @@ def amortized_seconds(fn, arg, iters=8, warmup=2, repeats=3):
     import jax.numpy as jnp
 
     for _ in range(warmup):
-        np.asarray(fn(arg))
+        # scalar sync (see bench.py): full-field fetches stall intermittently
+        float(jnp.sum(jnp.nan_to_num(fn(arg))))
     rates = []
     for _ in range(repeats):
         t0 = time.perf_counter()
@@ -53,14 +54,16 @@ def main():
         offs, dists, border = sx_sweep_offsets(azimuths, radius, 30.0, 30.0)
         print(f"r={radius:.0f}m border={border} kmax={offs.shape[1]}",
               flush=True)
-        for method in ("pallas_sweep", "xla", "pallas"):
+        for method in ("xla", "pallas", "pallas_fan", "pallas_sweep"):
             fn = jax.jit(
                 lambda d, m=method, o=offs, di=dists, b=border:
                 ops.sx_sweep(d, o, di, b, method=m)
             )
             try:
+                import jax.numpy as jnp
                 t0 = time.perf_counter()
-                np.asarray(fn(dem))
+                # scalar sync: full-field fetches through the relay stall
+                float(jnp.sum(jnp.nan_to_num(fn(dem))))
                 compile_s = time.perf_counter() - t0
                 sec = amortized_seconds(fn, dem)
                 print(
