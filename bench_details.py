@@ -204,6 +204,13 @@ def main():
         f.write("\n".join(lines + _footer()) + "\n")
     print("wrote BENCH_DETAILS.md", file=sys.stderr)
 
+    try:  # doc build step: re-render figure spans from the fresh table
+        import render_docs
+
+        render_docs.refresh()
+    except Exception as exc:  # pragma: no cover - docs are best-effort here
+        print(f"doc refresh skipped: {exc}", file=sys.stderr)
+
 
 def _footer():
     return [

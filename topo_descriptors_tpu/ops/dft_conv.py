@@ -147,8 +147,14 @@ class DftConvPlan:
 
             return not trace_state_clean()
         except Exception:  # pragma: no cover - jax internals moved
-            # probe: any jnp op yields a Tracer while a trace is active
-            return isinstance(jnp.zeros(()), jax.core.Tracer)
+            # ADVICE r4: there is no supported probe — jnp ops on constants
+            # return concrete arrays even inside an active trace, so an
+            # isinstance(..., Tracer) check is always False and would
+            # silently report "not tracing". Fail CONSERVATIVE instead:
+            # claiming "tracing" makes callers use the host arrays (always
+            # correct — they fold into the surrounding program as
+            # constants), merely skipping the device-cache fast path.
+            return True
 
     @property
     def mats(self):

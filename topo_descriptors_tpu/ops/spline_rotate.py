@@ -340,7 +340,17 @@ def quadrant_schedule(n_angles: int = 180):
     by variant ``v`` of base ``q_angles[i]`` (see :func:`canvas_variants`
     order) and ``slot_valid[i, v]`` whether that slot is a real,
     non-duplicate member of the angle set. 180 angles need 46 rotations.
+
+    The decomposition is only defined on the reference's angle domain
+    0..179 deg (topo.py:441); angles >= 181 would map to negative base
+    angles outside [0, 45] and silently produce wrong canvases (ADVICE r4),
+    so they are rejected.
     """
+    if not 1 <= n_angles <= 180:
+        raise ValueError(
+            f"n_angles must be in [1, 180] (reference domain 0..179 deg, "
+            f"topo.py:441); got {n_angles}"
+        )
     variant_of = {}
     for a in range(n_angles):
         if a <= 45:
