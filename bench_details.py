@@ -136,15 +136,22 @@ def main():
 
     from topo_descriptors_tpu.config import CFG
 
+    from topo_descriptors_tpu.kernels.valley import rotated_extent
+
     roof = Roofline()
     for scale_m, iters in ((2000.0, 3), (20000.0, 1)):
         vsize = int(round_up_to_odd(scale_m / 30.0))
         # route exactly like valley_ridge(method='auto') so the label and
         # roofline model always match the path the op actually executes
         streamed = bank_nbytes(vsize, 3) > CFG.valley_bank_max_bytes
+        kyx = max(rotated_extent(vsize, np.arange(180)))
+        cached = streamed and 46 * 3 * kyx**2 * 4 <= CFG.valley_canvas_cache_bytes
         label = (
-            "on-device rotation, matmul-DFT" if streamed
-            else "scipy bank, matmul-DFT"
+            "on-device rotation, canvas-cached, matmul-DFT" if cached
+            else (
+                "on-device rotation, matmul-DFT" if streamed
+                else "scipy bank, matmul-DFT"
+            )
         )
 
         # both paths manage their own jits; sync on scalars (both outputs)
@@ -165,7 +172,10 @@ def main():
         t = (time.perf_counter() - t0) / iters
         ls = roof.valley_ridge_light_speed_ms(
             *dem_np.shape, vsize,
-            method="mm_stream" if streamed else "mm_bank",
+            method=(
+                "mm_cached" if cached
+                else ("mm_stream" if streamed else "mm_bank")
+            ),
         ) / 1e3
         lines.append(
             f"| valley/ridge 180 angles, {scale_m/1000:.0f} km "
@@ -199,6 +209,17 @@ def main():
         )
         print(lines[-1], flush=True)
         flush()
+
+    # 7. 100 km row(s): measured by bench_valley.py --full/--only-full
+    #    (minutes-long; persisted so regeneration keeps the evidence)
+    try:
+        with open("BENCH_VALLEY_FULL.txt") as f:
+            full_lines = [ln.strip() for ln in f if ln.strip()]
+        for ln in full_lines[-3:]:
+            lines.append(f"| {ln.split(':', 1)[0]} (bench_valley.py) | "
+                         f"{ln.split(':', 1)[1].strip()} |")
+    except FileNotFoundError:
+        pass
 
     with open("BENCH_DETAILS.md", "w") as f:
         f.write("\n".join(lines + _footer()) + "\n")

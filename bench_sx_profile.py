@@ -107,9 +107,24 @@ def main():
             return
         accs = [jnp.full((by, bx), -jnp.inf, jnp.float32)
                 for _ in range(n_acc)]
+        if mode == "compute_nopanel":
+            for gi, (inv_g, grp) in enumerate(dist_table):
+                best = _tree_fmax(
+                    [window[oy : oy + by, ox : ox + bx] for oy, ox in grp]
+                )
+                k = gi % n_acc
+                accs[k] = jnp.fmax(accs[k],
+                                   (best - base) * jnp.float32(inv_g))
+            out_ref[:] = _tree_fmax(accs)
+            return
+        # production kernel form: lane rotations hoisted into per-ox panels
+        panels = {
+            ox: window[:, ox : ox + bx]
+            for ox in sorted({o[1] for _, grp in dist_table for o in grp})
+        }
         for gi, (inv_g, grp) in enumerate(dist_table):
             best = _tree_fmax(
-                [window[oy : oy + by, ox : ox + bx] for oy, ox in grp]
+                [panels[ox][oy : oy + by, :] for oy, ox in grp]
             )
             k = gi % n_acc
             accs[k] = jnp.fmax(accs[k], (best - base) * jnp.float32(inv_g))
@@ -168,7 +183,7 @@ def main():
             ts.append((time.perf_counter() - t0) / r_iters)
         return min(ts), compile_s
 
-    blocks = [(256, 512), (512, 512), (512, 1024), (1024, 1024)]
+    blocks = [(256, 512), (512, 512), (256, 1024)]
     results = {}
     for blk in blocks:
         try:
@@ -189,13 +204,16 @@ def main():
     best = min(results, key=results.get)
     for blk in {(256, 512), best}:
         parts = {"full": results[blk]}
-        for mode in ("dma_only", "compute", "noop"):
+        for mode in ("dma_only", "compute", "noop", "compute_nopanel"):
             try:
                 parts[mode], _ = timed(blk, mode)
             except Exception as exc:
                 print(f"block {blk} {mode}: FAILED ({str(exc)[:160]})",
                       flush=True)
         if {"dma_only", "compute", "noop"} <= parts.keys():
+            extra = (f", nopanel-reduction ~"
+                     f"{(parts['compute_nopanel']-parts['noop'])*1e3:.2f} ms"
+                     if "compute_nopanel" in parts else "")
             n_prog = (-(-n // blk[0])) * (-(-n // blk[1]))
             print(
                 f"block {blk} breakdown: full {parts['full']*1e3:.2f} | "
@@ -203,7 +221,8 @@ def main():
                 f"{parts['compute']*1e3:.2f} | noop {parts['noop']*1e3:.2f} ms"
                 f" -> per-program overhead {parts['noop']/n_prog*1e6:.1f} us, "
                 f"DMA ~{(parts['dma_only']-parts['noop'])*1e3:.2f} ms, "
-                f"reduction ~{(parts['compute']-parts['noop'])*1e3:.2f} ms",
+                f"reduction ~{(parts['compute']-parts['noop'])*1e3:.2f} ms"
+                + extra,
                 flush=True,
             )
 

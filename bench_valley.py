@@ -60,6 +60,22 @@ def main():
     scales = [(2000.0, 5), (20000.0, 1)]
     if "--full" in sys.argv:
         scales.append((100000.0, 1))
+    if "--only-full" in sys.argv:
+        scales = [(100000.0, 1)]
+
+    # --ballast G: pre-allocate G GiB of HBM before running, to BRACKET the
+    # op's true peak working set experimentally (the relay exposes no
+    # memory_stats — returns None — and device_memory_profile fatally
+    # crashes in the PJRT C-API; measured 2026-08-21). If the op still
+    # completes with G GiB held, its peak fits in (HBM - G).
+    ballast = None
+    for arg in sys.argv[1:]:
+        if arg.startswith("--ballast="):
+            gib = float(arg.split("=")[1])
+            n_elts = int(gib * 2**30 / 4)
+            ballast = jnp.ones((n_elts,), jnp.float32)
+            float(ballast[0])  # materialize before timing
+            print(f"holding {gib:.1f} GiB HBM ballast", flush=True)
 
     for scale_m, iters in scales:
         size = int(round_up_to_odd(scale_m / 30.0))
@@ -67,7 +83,15 @@ def main():
         # route exactly like valley_ridge(method='auto') so the label and
         # roofline model always match the path the op actually executes
         streamed = nbytes > CFG.valley_bank_max_bytes
-        label = "streamed-mm" if streamed else "bank-mm"
+        from topo_descriptors_tpu.kernels.valley import rotated_extent
+
+        ky, kx = rotated_extent(size, np.arange(180))
+        stack = 46 * 3 * max(ky, kx) ** 2 * 4  # padded to q_batch=2
+        cached = streamed and stack <= CFG.valley_canvas_cache_bytes
+        label = (
+            "streamed-mm, canvas cache" if cached
+            else ("streamed-mm" if streamed else "bank-mm")
+        )
 
         def run():
             # both paths manage their own jits + device bank/table caches
@@ -87,19 +111,31 @@ def main():
         for _ in range(iters):
             run()
         sec = (time.perf_counter() - t0) / iters
-        ls = roof.valley_ridge_light_speed_ms(
-            h, w, size, method="mm_stream" if streamed else "mm_bank"
+        method = (
+            "mm_cached" if cached
+            else ("mm_stream" if streamed else "mm_bank")
         )
-        hbm = _device_peak_bytes(dev)
+        ls = roof.valley_ridge_light_speed_ms(h, w, size, method=method)
         rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
-        print(
+        line = (
             f"valley {scale_m/1000:.0f}km (size {size}, bank "
             f"{nbytes/1e9:.2f} GB, {label}): {sec:.2f} s "
             f"-> {h*w/1e6/sec:.1f} Mpix/s; roofline {ls/1e3:.2f} s "
             f"({ls/1e3/sec*100:.0f}% of ceiling); first call {t_first:.1f} s; "
-            f"peak HBM {hbm/2**30:.2f} GiB, host RSS {rss/2**30:.2f} GiB",
-            flush=True,
+            f"host RSS {rss/2**30:.2f} GiB"
         )
+        if ballast is not None:
+            line += (
+                f"; completed with {ballast.nbytes/2**30:.1f} GiB HBM "
+                f"ballast held (peak working set <= "
+                f"{16 - ballast.nbytes/2**30:.1f} GiB)"
+            )
+        print(line, flush=True)
+        if scale_m >= 100000.0:
+            # persisted so bench_details.py can include the row in the
+            # regenerated BENCH_DETAILS.md (hand-merged rows get erased)
+            with open("BENCH_VALLEY_FULL.txt", "a") as f:
+                f.write(line + "\n")
 
 
 if __name__ == "__main__":

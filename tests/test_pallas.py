@@ -247,11 +247,16 @@ def test_sx_auto_backend_selects_xla_off_tpu(dem_tiny):
 
 
 def test_sx_auto_block_by_ray_count():
-    # measured register-pressure cliff (sx_block.auto_block docstring):
-    # K=240 (r=500 m) runs fastest at (256, 512); K=986 (r=2000 m) makes
-    # Mosaic spill there and needs the small block
-    assert sxb.auto_block(240) == (256, 512)
+    # measured VMEM live-set constraint (sx_block.auto_block docstring,
+    # round 5): Mosaic keeps every window slice live, so the (256, 512)
+    # block (0.5 MB/slice) only fits <= 128 rays; beyond that the small
+    # (64, 256) block carries up to ~1000
+    assert sxb.auto_block(32) == (256, 512)
+    assert sxb.auto_block(128) == (256, 512)
+    assert sxb.auto_block(240) == (64, 256)
     assert sxb.auto_block(986) == (64, 256)
+    # chunks built for the fast block must respect its live-set budget
+    assert sxb.CHUNK_RAYS * 256 * 512 * 4 <= 64 * 1024 * 1024
 
 
 def test_sx_sweep_auto_routing_rules():

@@ -65,3 +65,39 @@ def test_dtype_preserved(dtype):
     arr = np.ones((6, 4), dtype=dtype)
     out = chunked_device_put(arr, max_bytes=32)
     assert np.asarray(out).dtype == dtype
+
+
+# --- chunked_fetch (D2H counterpart, round 5) -------------------------------
+
+import jax.numpy as jnp  # noqa: E402
+
+
+def test_chunked_fetch_roundtrip_2d():
+    from topo_descriptors_tpu.utils.transfer import chunked_fetch
+
+    arr = np.arange(8 * 10, dtype=np.float32).reshape(8, 10)
+    dev = jnp.asarray(arr)
+    out = chunked_fetch(dev, max_bytes=120)  # 3 rows per slice
+    np.testing.assert_array_equal(out, arr)
+    assert out.flags.writeable
+
+
+def test_chunked_fetch_recurses_into_oversized_leading_index():
+    from topo_descriptors_tpu.utils.transfer import chunked_fetch
+
+    # (A, H, W) sweep stack whose single leading index exceeds the budget:
+    # slicing must recurse into the (H, W) planes
+    arr = np.arange(2 * 16 * 4, dtype=np.float32).reshape(2, 16, 4)
+    dev = jnp.asarray(arr)
+    out = chunked_fetch(dev, max_bytes=128)  # plane = 256 B > 128
+    np.testing.assert_array_equal(out, arr)
+    assert out.flags.writeable
+
+
+def test_chunked_fetch_small_array_writable_copy():
+    from topo_descriptors_tpu.utils.transfer import chunked_fetch
+
+    dev = jnp.asarray(np.ones((4, 4), np.float32))
+    out = chunked_fetch(dev)
+    out[0, 0] = 7.0  # band sinks mutate (global-border zeroing)
+    assert out[0, 0] == 7.0

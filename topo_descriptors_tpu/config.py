@@ -63,6 +63,13 @@ class Config:
     # streamed valley/ridge: target device size of one angle chunk's padded
     # kernel stack (the FFT intermediates are a small multiple of this).
     valley_chunk_bytes: int = 128 * 1024 * 1024
+    # streamed valley/ridge: largest rotated+folded quadrant canvas stack to
+    # keep device-resident per (size, mode, flats) signature. Rotation is an
+    # input-independent product that banded/tiled drivers and warm services
+    # recompute every call; caching it removes the ~46 gather rotations from
+    # all but the first call (20 km stack ~0.5 GB; 100 km would be ~12 GB
+    # and keeps the inline per-call rotation).
+    valley_canvas_cache_bytes: int = 1024 * 1024 * 1024
     # Reproduce the reference's int32-truncation quirk in the rolling std
     # (reference topo.py:300). Set False for a cleaner float32 variance.
     std_int32_parity: bool = True

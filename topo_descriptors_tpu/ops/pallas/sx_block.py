@@ -33,9 +33,26 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _tree_fmax(vals):
+def _tree_fmax(vals, max_live: int = 0):
     """Balanced fmax reduction — log2(n) depth exposes VPU ILP that a
-    serial fold hides (the serial chain is one long dependency)."""
+    serial fold hides (the serial chain is one long dependency).
+
+    ``max_live`` > 0 bounds the reduction's fan-in: inputs are consumed in
+    windows of that many values, each window tree-reduced and folded into a
+    running maximum. A fully balanced tree over a large input list makes
+    every leaf (a whole block-shaped value) simultaneously live, and
+    Mosaic's register allocator spills — measured at r=2000 m (where
+    distance groups reach dozens of rays on a (256, 512) block) the spill
+    slots alone were 136 MB and the program failed VMEM outright. Windowed
+    reduction keeps <= max_live+1 block values live while retaining
+    in-window ILP."""
+    if max_live and len(vals) > max_live:
+        acc = None
+        for i in range(0, len(vals), max_live):
+            part = _tree_fmax(list(vals[i : i + max_live]))
+            acc = part if acc is None else jnp.fmax(acc, part)
+        return acc
+    vals = list(vals)
     while len(vals) > 1:
         nxt = [
             jnp.fmax(vals[k], vals[k + 1])
@@ -111,7 +128,8 @@ def _sx_kernel(
     accs = [jnp.full((by, bx), -jnp.inf, jnp.float32) for _ in range(n_acc)]
     for gi, (inv, group) in enumerate(dist_table):
         best = _tree_fmax(
-            [window[oy : oy + by, ox : ox + bx] for oy, ox in group]
+            [window[oy : oy + by, ox : ox + bx] for oy, ox in group],
+            max_live=8,
         )
         k = gi % n_acc
         accs[k] = jnp.fmax(accs[k], (best - base) * jnp.float32(inv))
@@ -295,17 +313,23 @@ def _sx_fan_kernel(
         ]
         for gi, (inv, group) in enumerate(dist_table):
             best = _tree_fmax(
-                [window[oy : oy + by, ox : ox + bx] for oy, ox in group]
+                [window[oy : oy + by, ox : ox + bx] for oy, ox in group],
+                max_live=8,
             )
             k = gi % len(accs)
             accs[k] = jnp.fmax(accs[k], (best - base) * jnp.float32(inv))
         out_ref[a] = _tree_fmax(accs)
 
 
-# Total rays baked into ONE fan program. Bounds both the Mosaic compile
-# time (instruction stream ~ total rays) and register pressure stays
-# per-azimuth (accumulators are written out between azimuths).
-FAN_RAY_BUDGET = 4096
+# Total rays baked into ONE fan program. Bounds the Mosaic compile time
+# (instruction stream ~ total rays, super-linear through the relay) AND the
+# register-allocator live set: Mosaic keeps every static window slice of a
+# program alive (measured round 5 — a 240-slice program on (256, 512)
+# blocks allocates 240 x 0.5 MB of spill slots and fails VMEM, identical
+# with any reduction shape), so rays_per_program x block_bytes must stay
+# well under the 128 MB VMEM. At the fan kernel's (64, 256) block that is
+# 64 KB/slice: 768 rays ~ 48 MB.
+FAN_RAY_BUDGET = 768
 
 
 def sx_fan_pallas(
@@ -553,25 +577,27 @@ def sx_sweep_pallas(
 def auto_block(n_rays: int) -> tuple:
     """Block shape for :func:`sx_pallas`, chosen by ray count.
 
-    The kernel unrolls all K shifted slices into one instruction stream, so
-    register pressure grows with K x (vregs per block value). Measured on
-    v5e at the Basodino grid: K=240 (r=500 m) runs best at (256, 512)
-    [4.6 ms at 4096^2]; K=986 (r=2000 m) at (256, 512) makes Mosaic's
-    register allocator spill 181 MB and the compile itself takes ~9 min
-    before failing on VMEM — (64, 256) compiles in ~18 s and runs 5.9 ms
-    [(128, 256) half-spills: 50 ms]. The threshold is conservative: the
-    validated points are K=240 fast / K=986 cliff. Ray counts past
-    :data:`CHUNK_RAYS` normally never reach the cliff anymore — sx_pallas
-    splits them into per-chunk programs below the threshold."""
-    return (256, 512) if n_rays <= 256 else (64, 256)
+    The kernel unrolls all K shifted slices into one instruction stream,
+    and Mosaic keeps every slice value live for the whole program (measured
+    round 5: the spill-slot allocation equals K x block_bytes regardless of
+    reduction fan-in), so the constraint is ``K x by x bx x 4 <~ 64 MB``
+    (half the 128 MB VMEM, leaving room for scratch windows + output).
+    (256, 512) blocks are fastest when they fit: 0.5 MB/slice -> K <= 128.
+    Beyond that, (64, 256) blocks at 64 KB/slice carry up to ~1000 rays
+    [historically measured: K=986 at (256, 512) spills 181 MB and fails;
+    at (64, 256) it compiles in ~18 s and runs 5.9 ms]."""
+    return (256, 512) if n_rays <= 128 else (64, 256)
 
 
-# Largest ray count baked into ONE Mosaic program. 240 is the validated
-# fast point for (256, 512) blocks (see auto_block); larger fans are split
-# into chunks of whole distance-groups, each its own small program, with
-# the running maxima combined by one XLA fmax — compile cost stays
-# O(K/CHUNK_RAYS) small programs instead of one register-spilling giant.
-CHUNK_RAYS = 240
+# Largest ray count baked into ONE Mosaic program at the fast (256, 512)
+# block shape: every slice stays live (see auto_block), so 120 x 0.5 MB =
+# 60 MB of live slices fits VMEM with room for scratch + output. Larger
+# fans are split into chunks of whole distance-groups, each its own small
+# program, with the running maxima combined by one XLA fmax — compile cost
+# stays O(K/CHUNK_RAYS) small programs instead of one VMEM-failing giant
+# (measured round 5: a 240-ray (256, 512) program allocates 136 MB of
+# spill slots and fails VMEM outright).
+CHUNK_RAYS = 120
 
 
 def _chunk_dist_table(dist_table, max_rays: int):

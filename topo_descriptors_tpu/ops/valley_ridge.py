@@ -214,20 +214,141 @@ def _valley_ridge_bank_mm(dem, bank, angle_chunk, cache_key=None,
 
 
 _STREAM_CACHE: dict = {}
+_CANVAS_DEV_CACHE: dict = {}
 
 
-def _streamed_scan_fn(n, kmax, h, w, n_flats, conv: str):
+def _rotate_all_fn(n, kmax, n_flats):
+    """jitted map over quadrant angles -> (Nq, F, kmax, kmax) stack of
+    rotated, masked-standardized, flat-folded canvases (device-resident)."""
+    from topo_descriptors_tpu.ops.spline_rotate import rotate_std_canvas_table
+
+    key = ("rotate_all", n, kmax, n_flats)
+    fn = _STREAM_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    def rot(table, qparams):
+        def one(params):
+            canvas = rotate_std_canvas_table(table, n, params, (kmax, kmax))
+            return _flat_axis_combine(canvas, axis=0)
+
+        return jax.lax.map(one, qparams)
+
+    fn = jax.jit(rot)
+    _STREAM_CACHE[key] = fn
+    return fn
+
+
+def _streamed_scan_cached_fn(n, kmax, h, w, n_flats, conv: str,
+                             q_batch: int = 1):
+    """:func:`_streamed_scan_fn` variant consuming a pre-rotated canvas
+    stack: the scan's xs carry the folded canvases, so each step only
+    builds the four quadrant variants (cheap lattice flips) and convolves.
+
+    Why this exists: the ~46 rotation gathers are the streamed path's
+    non-conv cost (XLA gathers run at ~0.07 G rows/s — index-count-bound),
+    and they recompute an input-independent product. Production call sites
+    repeat the same (size, mode, flats) signature — the banded out-of-core
+    driver (parallel/tiles.py) calls the streamed op once per band, and
+    multi-tile services per tile — so the stack is rotated once and cached
+    on device (``_CANVAS_DEV_CACHE``), bounded by
+    ``CFG.valley_canvas_cache_bytes`` (at 100 km the stack would be ~12 GB:
+    those scales keep the inline rotation)."""
+    from topo_descriptors_tpu.ops.spline_rotate import canvas_variants
+
+    key = ("cached", n, kmax, h, w, n_flats, conv, q_batch)
+    fn = _STREAM_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    if conv == "fft":
+        fh = _fft_shape(h + kmax - 1)
+        fw = _fft_shape(w + kmax - 1)
+        sh = sw = (kmax - 1) // 2
+
+    def scan_fn(canvases, dem_or_fdr, fdi, mats, qparams, slot_angle,
+                slot_valid):
+        if conv == "fft":
+            f_dem = jnp.fft.rfft2(dem_or_fdr, s=(fh, fw))
+
+        def conv_fn(kernels):
+            if conv == "mm":
+                return conv_bank_mats(kernels, dem_or_fdr, fdi, *mats)
+            fk = jnp.fft.rfft2(kernels, s=(fh, fw))
+            full = jnp.fft.irfft2(f_dem[None] * fk, s=(fh, fw))
+            return jax.lax.slice(
+                full, (0, sh, sw), (kernels.shape[0], sh + h, sw + w)
+            ).astype(dem_or_fdr.dtype)
+
+        def body(carry, xs):
+            norm, direction = carry
+            folded_q, params_q, angles_q, valid_q = xs
+            kerns = [
+                jnp.concatenate(
+                    canvas_variants(folded_q[q], params_q[q]), axis=0
+                )
+                for q in range(q_batch)
+            ]
+            kern = jnp.concatenate(kerns, axis=0)
+            convs = conv_fn(kern).reshape(4 * q_batch, n_flats, h, w)
+            comb = jnp.max(convs, axis=1)
+            valid = valid_q.reshape(4 * q_batch)
+            angles = angles_q.reshape(4 * q_batch)
+            comb = jnp.where(valid[:, None, None] > 0, comb, -jnp.inf)
+            best = jnp.max(comb, axis=0)
+            amin = jnp.min(
+                jnp.where(comb == best, angles[:, None, None], jnp.inf),
+                axis=0,
+            )
+            greater = best > norm
+            equal = (best == norm) & (norm > -jnp.inf)
+            direction = jnp.where(
+                greater,
+                amin,
+                jnp.where(equal, jnp.minimum(direction, amin), direction),
+            )
+            norm = jnp.where(greater, best, norm)
+            return (norm, direction), None
+
+        init = (
+            jnp.full((h, w), -jnp.inf, dtype=jnp.float32),
+            jnp.zeros((h, w), dtype=jnp.float32),
+        )
+        n_steps = qparams.shape[0] // q_batch
+        xs = (
+            canvases.reshape(n_steps, q_batch, n_flats, kmax, kmax),
+            qparams.reshape(n_steps, q_batch, -1),
+            slot_angle.reshape(n_steps, q_batch, -1),
+            slot_valid.reshape(n_steps, q_batch, -1),
+        )
+        (norm, direction), _ = jax.lax.scan(body, init, xs)
+        return norm, direction
+
+    fn = jax.jit(scan_fn)
+    _STREAM_CACHE[key] = fn
+    return fn
+
+
+def _streamed_scan_fn(n, kmax, h, w, n_flats, conv: str, q_batch: int = 1):
     """jit-compiled quadrant scan for :func:`valley_ridge_streamed`, cached
     per static signature. The gather table, field spectrum and DFT matrices
     arrive as arguments (not closure constants) so GB-scale operands never
     become jit constants — the compile-payload failure mode documented at
-    ops/conv.py:612-618."""
+    ops/conv.py:612-618.
+
+    ``q_batch`` packs that many quadrant angles into each scan step
+    (VERDICT r4 task 7): the per-step conv batch grows from ``4*F`` to
+    ``q_batch*4*F`` kernels — deeper MXU contractions, fewer scan-step
+    fusion boundaries — and the rotation gathers of the batch issue
+    together. The caller pads the schedule to a multiple of ``q_batch``
+    with invalid slots (``slot_valid=0`` everywhere, masked to ``-inf``
+    before the running max, so results are unchanged)."""
     from topo_descriptors_tpu.ops.spline_rotate import (
         canvas_variants,
         rotate_std_canvas_table,
     )
 
-    key = (n, kmax, h, w, n_flats, conv)
+    key = (n, kmax, h, w, n_flats, conv, q_batch)
     fn = _STREAM_CACHE.get(key)
     if fn is not None:
         return fn
@@ -253,20 +374,32 @@ def _streamed_scan_fn(n, kmax, h, w, n_flats, conv: str):
 
         def body(carry, xs):
             norm, direction = carry
-            params, angles4, valid4 = xs
-            canvas = rotate_std_canvas_table(table, n, params, (kmax, kmax))
-            folded = _flat_axis_combine(canvas, axis=0)
-            # all four quadrant variants convolve as ONE batched call (same
-            # total MACs, larger matmuls, fewer fusion boundaries)
-            kern = jnp.concatenate(canvas_variants(folded, params), axis=0)
-            convs = conv_fn(kern).reshape(4, n_flats, h, w)
-            comb = jnp.max(convs, axis=1)  # (4, h, w)
-            comb = jnp.where(valid4[:, None, None] > 0, comb, -jnp.inf)
+            params_q, angles_q, valid_q = xs  # (Q,8), (Q,4), (Q,4)
+            kerns = []
+            for q in range(q_batch):  # static unroll over the angle batch
+                canvas = rotate_std_canvas_table(
+                    table, n, params_q[q], (kmax, kmax)
+                )
+                folded = _flat_axis_combine(canvas, axis=0)
+                # all four quadrant variants of every batched angle
+                # convolve as ONE call (same total MACs, larger matmuls,
+                # fewer fusion boundaries)
+                kerns.append(
+                    jnp.concatenate(
+                        canvas_variants(folded, params_q[q]), axis=0
+                    )
+                )
+            kern = jnp.concatenate(kerns, axis=0)  # (Q*4*F, kmax, kmax)
+            convs = conv_fn(kern).reshape(4 * q_batch, n_flats, h, w)
+            comb = jnp.max(convs, axis=1)  # (Q*4, h, w)
+            valid = valid_q.reshape(4 * q_batch)
+            angles = angles_q.reshape(4 * q_batch)
+            comb = jnp.where(valid[:, None, None] > 0, comb, -jnp.inf)
             best = jnp.max(comb, axis=0)
             # min angle among the batch's argmax set — equals the
             # reference's ascending strictly-greater update for any order
             amin = jnp.min(
-                jnp.where(comb == best, angles4[:, None, None], jnp.inf),
+                jnp.where(comb == best, angles[:, None, None], jnp.inf),
                 axis=0,
             )
             greater = best > norm
@@ -283,9 +416,13 @@ def _streamed_scan_fn(n, kmax, h, w, n_flats, conv: str):
             jnp.full((h, w), -jnp.inf, dtype=jnp.float32),
             jnp.zeros((h, w), dtype=jnp.float32),
         )
-        (norm, direction), _ = jax.lax.scan(
-            body, init, (qparams, slot_angle, slot_valid)
+        n_steps = qparams.shape[0] // q_batch
+        xs = (
+            qparams.reshape(n_steps, q_batch, -1),
+            slot_angle.reshape(n_steps, q_batch, -1),
+            slot_valid.reshape(n_steps, q_batch, -1),
         )
+        (norm, direction), _ = jax.lax.scan(body, init, xs)
         return norm, direction
 
     fn = jax.jit(scan_fn)
@@ -302,6 +439,7 @@ def valley_ridge_streamed(
     stats: Optional[tuple] = None,
     n_angles: int = 180,
     conv_method: str = "auto",
+    q_batch: int = 2,
 ) -> List[jax.Array]:
     """Valley/ridge with the kernel rotation performed ON DEVICE.
 
@@ -363,6 +501,15 @@ def valley_ridge_streamed(
     qparams = np.stack(
         [rotation_params(size, float(q), kmax, kmax) for q in q_angles]
     )
+    q_batch = max(1, min(int(q_batch), len(q_angles)))
+    if pad := (-len(q_angles)) % q_batch:
+        # pad the schedule with all-invalid slots (masked to -inf before
+        # the running max) so steps hold exactly q_batch angles each
+        qparams = np.concatenate([qparams, np.repeat(qparams[:1], pad, 0)])
+        slot_angle = np.concatenate(
+            [slot_angle, np.zeros((pad, 4), np.float32)]
+        )
+        slot_valid = np.concatenate([slot_valid, np.zeros((pad, 4), bool)])
 
     if conv_method == "auto":
         conv = "mm" if prefer_dft_matmul(h, w, kmax, kmax) else "fft"
@@ -378,13 +525,46 @@ def valley_ridge_streamed(
         mats = ()
         first = dem
 
-    scan = _streamed_scan_fn(size, kmax, h, w, n_flats, conv)
+    qparams_j = jnp.asarray(qparams)
+    stack_bytes = qparams.shape[0] * n_flats * kmax * kmax * 4
+    if (
+        stack_bytes <= CFG.valley_canvas_cache_bytes
+        and not DftConvPlan._tracing()
+    ):
+        # rotate once per (size, mode, flats) signature, cache the folded
+        # canvas stack on device — banded/tiled drivers and warm services
+        # repeat the signature every call (see _streamed_scan_cached_fn)
+        ckey = (
+            size, mode, tuple(float(f) for f in flat_list), n_angles,
+            n_flats, q_batch,
+        )
+        canvases = _CANVAS_DEV_CACHE.get(ckey)
+        if canvases is None:
+            canvases = _rotate_all_fn(size, kmax, n_flats)(table, qparams_j)
+            while len(_CANVAS_DEV_CACHE) >= 2:  # bound resident stacks
+                _CANVAS_DEV_CACHE.pop(next(iter(_CANVAS_DEV_CACHE)))
+            _CANVAS_DEV_CACHE[ckey] = canvases
+        scan = _streamed_scan_cached_fn(
+            size, kmax, h, w, n_flats, conv, q_batch
+        )
+        norm, direction = scan(
+            canvases,
+            first,
+            fdi,
+            mats,
+            qparams_j,
+            jnp.asarray(slot_angle),
+            jnp.asarray(slot_valid.astype(np.float32)),
+        )
+        return [jnp.clip(norm, 0.0, None), direction]
+
+    scan = _streamed_scan_fn(size, kmax, h, w, n_flats, conv, q_batch)
     norm, direction = scan(
         table,
         first,
         fdi,
         mats,
-        jnp.asarray(qparams),
+        qparams_j,
         jnp.asarray(slot_angle),
         jnp.asarray(slot_valid.astype(np.float32)),
     )

@@ -716,15 +716,28 @@ class ShardedOps:
         qparams = np.stack(
             [rotation_params(size, float(q), kmax, kmax) for q in q_angles]
         )
+        q_batch = max(1, min(2, len(q_angles)))
+        if pad := (-len(q_angles)) % q_batch:
+            # all-invalid slots (masked to -inf) pad the schedule so each
+            # scan step holds exactly q_batch angles (ops/valley_ridge.py)
+            qparams = np.concatenate(
+                [qparams, np.repeat(qparams[:1], pad, 0)]
+            )
+            slot_angle = np.concatenate(
+                [slot_angle, np.zeros((pad, 4), np.float32)]
+            )
+            slot_valid = np.concatenate(
+                [slot_valid, np.zeros((pad, 4), bool)]
+            )
         key = (
             "valley_stream", size, mode, tuple(flat_list), sigma, x.shape,
-            valid_shape, n_angles,
+            valid_shape, n_angles, q_batch,
         )
         fn = self._cache.get(key)
         if fn is None:
             fn = self._build_valley_streamed(
                 sigma, valid_shape, n_flats, size, kmax,
-                (ply, phy), (plx, phx), (lh, lw),
+                (ply, phy), (plx, phx), (lh, lw), q_batch,
             )
             self._cache[key] = fn
         return fn(
@@ -738,7 +751,8 @@ class ShardedOps:
         )
 
     def _build_valley_streamed(self, sigma, valid_shape, n_flats, size,
-                               kmax, pads_y, pads_x, block_shape):
+                               kmax, pads_y, pads_x, block_shape,
+                               q_batch: int = 2):
         from topo_descriptors_tpu.ops.dft_conv import conv_bank_mats
         from topo_descriptors_tpu.ops.spline_rotate import (
             build_rotation_table,
@@ -791,22 +805,29 @@ class ShardedOps:
 
             def body(carry, xs):
                 norm, direction = carry
-                params, angles4, valid4 = xs
-                canvas = rotate_std_canvas_table(
-                    table, size, params, (kmax, kmax)
-                )
-                folded = _flat_axis_combine(canvas, axis=0)
-                kern = jnp.concatenate(
-                    canvas_variants(folded, params), axis=0
-                )
+                params_q, angles_q, valid_q = xs  # (Q,8), (Q,4), (Q,4)
+                kerns = []
+                for q in range(q_batch):  # static unroll (ops/valley_ridge)
+                    canvas = rotate_std_canvas_table(
+                        table, size, params_q[q], (kmax, kmax)
+                    )
+                    folded = _flat_axis_combine(canvas, axis=0)
+                    kerns.append(
+                        jnp.concatenate(
+                            canvas_variants(folded, params_q[q]), axis=0
+                        )
+                    )
+                kern = jnp.concatenate(kerns, axis=0)
                 convs = conv_bank_mats(
                     kern, fdr, fdi, cxf, sxf, cyf, syf, cyi, syi, cxi, sxi
-                ).reshape(4, -1, lh, lw)
+                ).reshape(4 * q_batch, -1, lh, lw)
                 comb = jnp.max(convs, axis=1)
-                comb = jnp.where(valid4[:, None, None] > 0, comb, -jnp.inf)
+                valid = valid_q.reshape(4 * q_batch)
+                angles = angles_q.reshape(4 * q_batch)
+                comb = jnp.where(valid[:, None, None] > 0, comb, -jnp.inf)
                 best = jnp.max(comb, axis=0)
                 amin = jnp.min(
-                    jnp.where(comb == best, angles4[:, None, None], jnp.inf),
+                    jnp.where(comb == best, angles[:, None, None], jnp.inf),
                     axis=0,
                 )
                 greater = best > norm
@@ -823,7 +844,13 @@ class ShardedOps:
                 _varying(jnp.full((lh, lw), -jnp.inf, block.dtype)),
                 _varying(jnp.zeros((lh, lw), block.dtype)),
             )
-            (norm, direction), _ = jax.lax.scan(body, init, (qp, sa, sv))
+            n_steps = qp.shape[0] // q_batch
+            xs = (
+                qp.reshape(n_steps, q_batch, -1),
+                sa.reshape(n_steps, q_batch, -1),
+                sv.reshape(n_steps, q_batch, -1),
+            )
+            (norm, direction), _ = jax.lax.scan(body, init, xs)
             return jnp.clip(norm, 0.0, None), direction
 
         return jax.jit(

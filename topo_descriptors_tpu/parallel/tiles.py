@@ -35,6 +35,7 @@ from topo_descriptors_tpu.config import CFG
 from topo_descriptors_tpu.kernels.gaussian import gaussian_radius
 from topo_descriptors_tpu.kernels.valley import rotated_kernel_bank
 from topo_descriptors_tpu.ops.valley_ridge import prepare_valley_bank
+from topo_descriptors_tpu.utils.transfer import chunked_device_put, chunked_fetch
 
 logger = logging.getLogger(__name__)
 
@@ -75,9 +76,9 @@ class TiledRunner:
         halo_lo, halo_hi = halo
         out = None
         for start, stop, win_lo, win_hi in self._bands(n_rows, halo_lo, halo_hi):
-            window = jnp.asarray(dem[win_lo:win_hi])
+            window = chunked_device_put(np.asarray(dem[win_lo:win_hi]))
             rows = slice(start - win_lo, stop - win_lo)
-            band_out = np.asarray(fn(window, rows))
+            band_out = chunked_fetch(fn(window, rows))
             if sink is not None:
                 sink(start, band_out)
                 continue
@@ -207,14 +208,14 @@ class TiledRunner:
 
         out: Optional[Dict[str, np.ndarray]] = None
         for start, stop, win_lo, win_hi in self._bands(n_rows, halo, halo):
-            window = jnp.asarray(dem[win_lo:win_hi])
+            window = chunked_device_put(np.asarray(dem[win_lo:win_hi]))
             rows = slice(start - win_lo, stop - win_lo)
             batch = ops.disk_descriptors(
                 window, sizes, sigma, compute_tpi=compute_tpi,
                 compute_std=compute_std, center=center,
             )
             for kind in kinds:
-                band = np.asarray(batch[kind][:, rows])
+                band = chunked_fetch(batch[kind][:, rows])
                 if sinks is not None:
                     for s_idx, sink in enumerate(sinks[kind]):
                         sink(start, band[s_idx])
@@ -259,13 +260,13 @@ class TiledRunner:
         if sinks is not None:
             n_rows = dem.shape[0]
             for start, stop, win_lo, win_hi in self._bands(n_rows, halo, halo):
-                window = jnp.asarray(dem[win_lo:win_hi])
+                window = chunked_device_put(np.asarray(dem[win_lo:win_hi]))
                 rows = slice(start - win_lo, stop - win_lo)
                 outs = ops.gradient(
                     window, sigma, res_for(win_lo, win_hi), sig_ratio
                 )
                 for sink, band in zip(sinks, outs):
-                    sink(start, np.asarray(band[rows]))
+                    sink(start, chunked_fetch(band[rows]))
             return None
 
         def fn_for(idx):
@@ -285,7 +286,7 @@ class TiledRunner:
         n_rows = dem.shape[0]
         out = None
         for start, stop, win_lo, win_hi in self._bands(n_rows, *halo):
-            window = jnp.asarray(dem[win_lo:win_hi])
+            window = chunked_device_put(np.asarray(dem[win_lo:win_hi]))
             rows = slice(start - win_lo, stop - win_lo)
             band_out = np.asarray(fn(window, rows, win_lo, win_hi))
             if out is None:
@@ -338,11 +339,11 @@ class TiledRunner:
         if sinks is not None:
             n_rows = dem.shape[0]
             for start, stop, win_lo, win_hi in self._bands(n_rows, halo, halo):
-                window = jnp.asarray(dem[win_lo:win_hi])
+                window = chunked_device_put(np.asarray(dem[win_lo:win_hi]))
                 rows = slice(start - win_lo, stop - win_lo)
                 norm, direction = both(window)
-                sinks[0](start, np.asarray(norm[rows]))
-                sinks[1](start, np.asarray(direction[rows]))
+                sinks[0](start, chunked_fetch(norm[rows]))
+                sinks[1](start, chunked_fetch(direction[rows]))
             return None
 
         def fn_norm(window, rows):
@@ -420,12 +421,12 @@ class TiledRunner:
         n_rows, w = dem.shape
         out = None
         for start, stop, win_lo, win_hi in self._bands(n_rows, b, b):
-            window = jnp.asarray(dem[win_lo:win_hi])
+            window = chunked_device_put(np.asarray(dem[win_lo:win_hi]))
             rows = slice(start - win_lo, stop - win_lo)
-            band = np.array(
+            band = chunked_fetch(
                 ops.sx_sweep(window, offsets, distances, border, height,
-                             zero_border=False)
-            )[:, rows]
+                             zero_border=False)[:, rows]
+            )
             self._zero_global_border(band, start, n_rows, b)
             if sink is not None:
                 sink(start, band)

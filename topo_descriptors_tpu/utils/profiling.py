@@ -96,12 +96,15 @@ class Roofline:
     ) -> float:
         """Valley/ridge lower bound for one scale.
 
-        ``mm_bank`` / ``mm_stream`` — the round-4 partial-DFT matmul engine
-        (ops/dft_conv.py) on the precomputed host bank / the on-device
-        quadrant rotation path: conv MACs per kernel at the aliased
-        transform lengths charged at the measured sustained matmul rate;
-        ``mm_stream`` adds the rotation-table gather floor (one 27-float
-        row per canvas pixel, ~46 rotations per 180 angles).
+        ``mm_bank`` / ``mm_stream`` / ``mm_cached`` — the round-4
+        partial-DFT matmul engine (ops/dft_conv.py) on the precomputed host
+        bank / the on-device quadrant rotation path / the rotation path
+        with a warm device canvas cache (round 5,
+        ops/valley_ridge._CANVAS_DEV_CACHE — rotation amortized away):
+        conv MACs per kernel at the aliased transform lengths charged at
+        the measured sustained matmul rate; ``mm_stream`` adds the
+        rotation-table gather floor (one 27-float row per canvas pixel,
+        ~46 rotations per 180 angles).
         ``direct`` — the row-channel MXU mapping (conv2d_bank_rowchan): each
         output pixel of each (angle, flat) plane contracts KY*KX taps, 2
         flops each, on the MXU at f32-equivalent rate. ``fft`` — the
@@ -111,7 +114,7 @@ class Roofline:
         from topo_descriptors_tpu.kernels.valley import rotated_extent
 
         ky, kx = rotated_extent(size, np.arange(n_angles))
-        if method in ("mm_bank", "mm_stream"):
+        if method in ("mm_bank", "mm_stream", "mm_cached"):
             sy, sx = (ky - 1) // 2, (kx - 1) // 2
             fh = max(h + ky - 1 - sy, sy + h)
             fw = max(w + kx - 1 - sx, sx + w)
