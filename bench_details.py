@@ -252,23 +252,47 @@ def _footer():
         "reaches ~85% of its own MXU roofline at 2 km — there is no headroom "
         "left that a hand-written kernel could claim.",
         "",
-        "Sx sweep routing (round 4): ray tables are deduplicated exactly "
-        "(sx_dedupe; the reference's arcs are 2-7x redundant), and 'auto' "
-        "wide fans use the one-program XLA scan: each Mosaic kernel compile "
-        "costs 17-25 s through the remote-compile relay, is NOT persisted "
-        "by JAX's compilation cache, and static multi-azimuth programs "
-        "compile super-linearly (the 36-azimuth r=500 m fan program did not "
-        "compile in 10 min). Warm-process services can pin "
-        "method='pallas'/'pallas_fan' (fastest amortized: one halo-window "
-        "DMA per block, measured 0.2 s/azimuth-call incl. relay sync at "
-        "r=500 m, sub-ms device time).",
+        "Valley/ridge round-5 additions: scan steps batch 2 quadrant "
+        "angles (46 = 2x23 steps), and the rotated+folded canvas stack is "
+        "cached on device per (size, mode, flats) signature up to "
+        "CFG.valley_canvas_cache_bytes (rotation is input-independent; "
+        "banded drivers and warm services pay the ~46 XLA gather rotations "
+        "once — 20 km warm 1.78 -> 0.56-0.84 s across runs). The 100 km "
+        "stack (~12 GB) exceeds the cache budget and keeps the per-call "
+        "inline rotation; its first-call cost is relay-variance-dominated "
+        "(see the 100 km row).",
         "",
-        "Sx-500m at 4096^2 has measured 4.6-5.4 ms across rounds 2-4 with "
-        "an unchanged kernel (and ray dedup 240 -> 32 did not move it): at "
-        "production grid sizes the block-resident kernel is bound by "
-        "per-program grid overhead and window DMA, not ray count, and the "
-        "+-0.4 ms spread is run-to-run relay variance, not a regression "
-        "(VERDICT r3 weak #5).",
+        "Sx sweep routing + r=2000 verdict (round 5, measured on chip): "
+        "ray tables are deduplicated exactly (sx_dedupe; the reference's "
+        "arcs are 2-7x redundant) and 'auto' wide fans use the one-program "
+        "XLA scan with unroll=8. At r=2000 m / 36 az the deduped scan runs "
+        "2.9-3.2 ms/azimuth — ~100% of its own HBM floor (464 rays x one "
+        "full-field slice pass = 2.4 GB -> 2.9 ms at 819 GB/s), so the "
+        "round-2 <= 2.2 ms/az target is BELOW the streaming formulation's "
+        "memory roofline. The block-resident Pallas routes, VMEM-resident "
+        "and nominally compute-bound at ~0.6 ms/az, measure 4.9-6.2 "
+        "ms/azimuth across every compile-viable block shape (chunked "
+        "(256,512), single-program (128,256)/(64,512), and the grouped "
+        "fan kernel): Mosaic keeps every static window slice of a program "
+        "live (spill = K x block_bytes regardless of reduction shape; "
+        "K=240 chunks on (256,512) blocks fail VMEM outright — hence the "
+        "round-5 CHUNK_RAYS=120 / auto_block K<=128 limits) and charges "
+        "~3 vector ops per misaligned slice, so the 1-op/ray model is "
+        "unreachable. Verdict: target not met; binding constraints are "
+        "the scan's HBM slice floor and Mosaic's slice-liveness + "
+        "misaligned-load costs. Pallas wins only where it always did: "
+        "production grids (4096^2+) where the scan's K full-field passes "
+        "dwarf one-window-DMA traffic.",
+        "",
+        "Sx Pallas breakdown at 8192^2 / K=32 (bench_sx_profile.py, round "
+        "5): full 13.4 ms = reduction ~6.4 ms (22% of the 1-op/ray "
+        "grouped-VPU model — misaligned VMEM slices cost ~3 vector ops "
+        "each, so ~4.1 ms is the realistic shift-formulation ceiling) + "
+        "window DMA ~0.7-0.9 ms + XLA-side pad/crop/checksum passes. "
+        "Round 4's 'per-program grid overhead' attribution was WRONG: "
+        "noop-kernel time is unchanged from 512 to 256 programs "
+        "(~0.8 us/program marginal), and block-size sweeps (256,512) -> "
+        "(512,512) -> (256,1024) move throughput <2%.",
         "",
         "Multi-device: see bench_scaling.py (partition+halo overhead ~0 "
         "on a virtual mesh; real-chip weak scaling needs pod hardware).",

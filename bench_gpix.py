@@ -55,10 +55,15 @@ def main():
     ap.add_argument("--outdir", default="/tmp/gpix")
     ap.add_argument("--tile-rows", type=int, default=4096)
     ap.add_argument("--keep-input", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="wiring smoke test on CPU (use a small --n)")
     args = ap.parse_args()
 
     import jax
 
+    if args.cpu:
+        # the image's sitecustomize pins the TPU platform; env alone loses
+        jax.config.update("jax_platforms", "cpu")
     try:
         jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     except Exception:

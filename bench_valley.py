@@ -120,7 +120,7 @@ def main():
         line = (
             f"valley {scale_m/1000:.0f}km (size {size}, bank "
             f"{nbytes/1e9:.2f} GB, {label}): {sec:.2f} s "
-            f"-> {h*w/1e6/sec:.1f} Mpix/s; roofline {ls/1e3:.2f} s "
+            f"-> {h*w/1e6/sec:.2f} Mpix/s; roofline {ls/1e3:.2f} s "
             f"({ls/1e3/sec*100:.0f}% of ceiling); first call {t_first:.1f} s; "
             f"host RSS {rss/2**30:.2f} GiB"
         )

@@ -671,11 +671,15 @@ def sx_pallas(
     Fans wider than :data:`CHUNK_RAYS` rays are split into chunks of whole
     distance-groups: each chunk compiles a small constant-offset program at
     the fast (256, 512) block shape, the raw maxima combine with one XLA
-    ``fmax``, and the atan epilogue runs once — Mosaic's K~1000 register
-    cliff (auto_block) is never hit, and the compile cost is a few ~0.5 s
-    programs instead of one ~9 min spill. Measured v5e at the Basodino
-    grid, r=2000 m deduped fan (K=464, 2 chunks): 1.0 ms/azimuth vs 5.9 ms
-    for the single-program (64, 256) form.
+    ``fmax``, and the atan epilogue runs once — Mosaic's VMEM live-set cap
+    (auto_block) is never hit, and the compile cost is a few small
+    programs instead of one VMEM-failing giant. Measured v5e at the
+    Basodino grid, r=2000 m deduped fan (K=464, 4 chunks of <= 120):
+    4.9 ms/azimuth warm — slower than the deduped XLA scan (2.9-3.2
+    ms/azimuth, which runs at ~100% of its HBM slice-streaming floor);
+    the Pallas route's value is at production grid sizes (4096^2+) where
+    the scan's K full-field HBM passes dwarf the block-resident kernel's
+    one-window-DMA traffic. See the Sx sweep verdict in BENCH_DETAILS.md.
     """
     h, w = dem.shape
     offsets = np.asarray(offsets)

@@ -98,7 +98,10 @@ def sx(
         ratio = (shifted - base) * inv
         return jnp.fmax(carry, ratio), None
 
-    max_ratio, _ = jax.lax.scan(step, neg_inf, (offs, invs))
+    # unroll=8: ~7% on wide fans (measured r=2000; the scan runs at ~100%
+    # of its HBM slice-streaming floor, K x one (H, W) pass — see the Sx
+    # sweep verdict in BENCH_DETAILS.md)
+    max_ratio, _ = jax.lax.scan(step, neg_inf, (offs, invs), unroll=8)
 
     sx_deg = jnp.degrees(jnp.arctan(max_ratio))
     # no valid candidate at all (NaN centre pixel, or radius_min masked every
@@ -248,7 +251,9 @@ def sx_sweep(
             shifted = jax.lax.dynamic_slice(padded, (start[0], start[1]), (h, w))
             return jnp.fmax(carry, (shifted - base) * inv), None
 
-        max_ratio, _ = jax.lax.scan(step, neg_inf, (offs_a, invs_a))
+        max_ratio, _ = jax.lax.scan(
+            step, neg_inf, (offs_a, invs_a), unroll=8
+        )
         out = jnp.degrees(jnp.arctan(max_ratio))
         out = jnp.where(jnp.isneginf(max_ratio), jnp.nan, out)
         if not zero_border:  # tiled path masks at the global frame instead
