@@ -210,7 +210,22 @@ def main():
         print(lines[-1], flush=True)
         flush()
 
-    # 7. 100 km row(s): measured by bench_valley.py --full/--only-full
+    # 7. Gpix out-of-core rows: measured by bench_gpix.py (tens of
+    #    minutes; persisted so regeneration keeps the evidence)
+    try:
+        with open("BENCH_GPIX.txt") as f:
+            gpix_lines = [ln.strip() for ln in f if ln.strip()]
+        header = gpix_lines[0] if gpix_lines else "Gpix streamed run"
+        for ln in gpix_lines[1:]:
+            if ":" in ln:
+                lines.append(f"| {header}: {ln.split(':', 1)[0]} | "
+                             f"{ln.split(':', 1)[1].strip()} |")
+            else:
+                lines.append(f"| {header} | {ln} |")
+    except FileNotFoundError:
+        pass
+
+    # 8. 100 km row(s): measured by bench_valley.py --full/--only-full
     #    (minutes-long; persisted so regeneration keeps the evidence)
     try:
         with open("BENCH_VALLEY_FULL.txt") as f:

@@ -100,33 +100,40 @@ def main():
         )
 
     rows = []
+    lines = []
 
     def run(label, outputs_gb, fn):
         t0 = time.perf_counter()
         files = fn()
         sec = time.perf_counter() - t0
         rows.append((label, sec, mpix / sec, rss_gib()))
-        print(
+        n_files = files if isinstance(files, int) else len(files)
+        line = (
             f"{label}: {sec:.0f} s ({mpix/sec:.0f} Mpix/s end-to-end incl. "
             f"disk I/O; {outputs_gb:.1f} GB written), peak RSS "
-            f"{rss_gib():.2f} GiB -> {files if isinstance(files, int) else len(files)} files",
-            flush=True,
+            f"{rss_gib():.2f} GiB -> {n_files} files"
         )
+        lines.append(line)
+        print(line, flush=True)
+        if sec > 60:  # resumable runs skip finished families in ~0 s
+            with open("BENCH_GPIX.partial.txt", "a") as f:
+                f.write(line + "\n")
 
     gb = n * n * 4 / 1e9
     run(
         "TPI-2000m + STD-2000m (fused pass)",
         2 * gb,
-        lambda: streaming._compute_disk_family(
-            dem_path, [2000], None, ("tpi", "std"), args.outdir,
-            args.tile_rows, True, False,
+        lambda: streaming.compute_tpi_std(
+            dem_path, [2000], outdir=args.outdir, tile_rows=args.tile_rows,
+            skip_existing=True,
         ),
     )
     run(
         "gradient-2000m (4 outputs)",
         4 * gb,
         lambda: streaming.compute_gradient(
-            dem_path, [2000], outdir=args.outdir, tile_rows=args.tile_rows
+            dem_path, [2000], outdir=args.outdir, tile_rows=args.tile_rows,
+            skip_existing=True,
         ),
     )
     run(
@@ -134,18 +141,27 @@ def main():
         gb,
         lambda: streaming.compute_sx(
             dem_path, [0.0], 500.0, outdir=args.outdir,
-            tile_rows=args.tile_rows,
+            tile_rows=args.tile_rows, skip_existing=True,
         ),
     )
 
     total = sum(r[1] for r in rows)
-    print(
+    summary = (
         f"TOTAL {len(rows)} streamed families over {mpix/1e3:.2f} Gpix: "
         f"{total:.0f} s wall, {mpix*len(rows)/total:.0f} Mpix/s aggregate, "
         f"peak host RSS {rss_gib():.2f} GiB (grid itself is "
-        f"{n*n*4/2**30:.1f} GiB — never resident)",
-        flush=True,
+        f"{n*n*4/2**30:.1f} GiB — never resident)"
     )
+    print(summary, flush=True)
+    if not args.cpu and n >= 16384:
+        # persisted so bench_details.py includes the rows in the
+        # regenerated BENCH_DETAILS.md
+        with open("BENCH_GPIX.txt", "w") as f:
+            f.write(f"Gpix streamed run ({n}x{n}, tile_rows "
+                    f"{args.tile_rows})\n")
+            for line in lines:
+                f.write(line + "\n")
+            f.write(summary + "\n")
     if not args.keep_input:
         os.unlink(dem_path)
 

@@ -307,3 +307,34 @@ def test_sharded_streamed_skip_existing(tmp_path, dem_path, sops8):
                                               outdir=tmp_path,
                                               skip_existing=True)
     assert again == first
+
+
+def test_streamed_fused_tpi_std_writes_both_families(tmp_path, dem_small):
+    """compute_tpi_std: ONE banded pass writes every (descriptor, scale)
+    output of the group (single-chip analog of the sharded fused driver)."""
+    from topo_descriptors_tpu import streaming
+    from topo_descriptors_tpu.grid import Raster, RasterGrid
+    from topo_descriptors_tpu.io.netcdf import read_raster, write_raster
+
+    ny, nx = dem_small.shape
+    grid = RasterGrid(
+        y=np.arange(ny, dtype=np.float64)[::-1] * 30.0,
+        x=np.arange(nx, dtype=np.float64) * 30.0,
+        crs="epsg:2056",
+    )
+    path = tmp_path / "DEM.nc"
+    write_raster(Raster(dem_small, grid, name="dem", units="m"), path)
+    files = streaming.compute_tpi_std(
+        path, [300, 600], outdir=tmp_path, tile_rows=32
+    )
+    names = sorted(read_raster(f).name for f in files)
+    assert names == ["STD_300M", "STD_600M", "TPI_300M", "TPI_600M"]
+    # parity vs the unfused streamed driver (float32 tolerance: the fused
+    # pass uses the larger scale's halo, so band windows differ in height
+    # and the prefix-sum accumulation order shifts within f32 rounding)
+    sep = streaming.compute_tpi(path, [300], outdir=tmp_path / "sep",
+                                tile_rows=32)
+    np.testing.assert_allclose(
+        read_raster([f for f in files if "TPI_300" in str(f)][0]).data,
+        read_raster(sep[0]).data, atol=2e-3,
+    )

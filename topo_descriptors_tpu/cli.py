@@ -145,10 +145,21 @@ def _main_streamed(args) -> int:
                     written += streaming.compute_dem(
                         dem, args.scales, **common)
             elif name in ("tpi", "std"):
+                both = "tpi" in args.descriptors and "std" in args.descriptors
+                if both and name != "tpi":
+                    continue  # handled by the fused pass below
                 if sops:
+                    kinds = ("tpi", "std") if both else (name,)
                     written += streaming.compute_tpi_std_sharded(
-                        dem, args.scales, sops, kinds=(name,),
+                        dem, args.scales, sops, kinds=kinds,
                         smth_factors=args.smth_factors, **common
+                    )
+                elif both:
+                    # one banded pass ships each halo window once for all
+                    # (descriptor, scale) outputs of the group
+                    written += streaming.compute_tpi_std(
+                        dem, args.scales, smth_factors=args.smth_factors,
+                        **common
                     )
                 else:
                     fn = (streaming.compute_tpi if name == "tpi"

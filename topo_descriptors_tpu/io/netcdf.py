@@ -162,7 +162,9 @@ class NetCDFWindowReader:
         return (self.height, self.width)
 
     def close(self):
-        self._f.close()
+        if self._f is not None:
+            self._f.close()
+            self._f = None
 
     def __enter__(self):
         return self
@@ -223,7 +225,14 @@ class RasterBandWriter:
         import h5py
 
         self.path = Path(path)
-        self._f = h5py.File(self.path, "w")
+        # atomic-completion contract (checkpoint/resume soundness): bands
+        # stream into a .partial file that is renamed onto the final path
+        # only on successful close(). A crash mid-write therefore never
+        # leaves a final-named file, so the drivers' --skip-existing can
+        # trust existence (a pre-round-5 crash left truncated outputs that
+        # a resume would silently have kept).
+        self._tmp_path = self.path.with_name(self.path.name + ".partial")
+        self._f = h5py.File(self._tmp_path, "w")
         ny, nx = grid.shape
         for dim, vals in (("y", grid.y), ("x", grid.x)):
             d = self._f.create_dataset(dim, data=np.asarray(vals))
@@ -248,13 +257,28 @@ class RasterBandWriter:
         self._v[r0 : r0 + block.shape[0]] = block
 
     def close(self):
-        self._f.close()
+        import os
+
+        if self._f is not None:
+            self._f.close()
+            self._f = None
+            os.replace(self._tmp_path, self.path)
+
+    def abort(self):
+        """Close and discard the partial file (error paths)."""
+        if self._f is not None:
+            self._f.close()
+            self._f = None
+            self._tmp_path.unlink(missing_ok=True)
 
     def __enter__(self):
         return self
 
     def __exit__(self, *exc):
-        self.close()
+        if exc and exc[0] is not None:
+            self.abort()
+        else:
+            self.close()
 
 
 def get_dem_netcdf(path_dem) -> Raster:

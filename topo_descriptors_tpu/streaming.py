@@ -229,6 +229,25 @@ def compute_std(dem, scales, smth_factors=None, outdir=".",
                                 tile_rows, reassign_nans, skip_existing)
 
 
+def compute_tpi_std(dem, scales, smth_factors=None, outdir=".",
+                    tile_rows: int = 4096, reassign_nans: bool = True,
+                    skip_existing: bool = False):
+    """Streamed FUSED TPI+STD: one banded pass ships each halo window to
+    the device once and writes every (descriptor, scale) output of the
+    group from the shared centred moment fields — half the ingest and
+    transfer traffic of running the two family drivers separately (the
+    single-chip analog of :func:`compute_tpi_std_sharded`; the reference
+    computes the two families in independent full passes,
+    topo.py:88-141, 216-269)."""
+    logger.info(
+        f"***Streaming fused TPI+STD computation for scales {scales} "
+        f"meters***"
+    )
+    return _compute_disk_family(dem, scales, smth_factors, ("tpi", "std"),
+                                outdir, tile_rows, reassign_nans,
+                                skip_existing)
+
+
 def compute_gradient(dem, scales, sig_ratios=1, outdir=".",
                      tile_rows: int = 4096, reassign_nans: bool = True,
                      skip_existing: bool = False):
