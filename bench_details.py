@@ -309,6 +309,14 @@ def _footer():
         "(~0.8 us/program marginal), and block-size sweeps (256,512) -> "
         "(512,512) -> (256,1024) move throughput <2%.",
         "",
+        "Headline stability (round 5): the dispatch-amortized scan "
+        "headline varies <6% across repeats within one process; across "
+        "processes the relay's throughput phases move it +-9% around the "
+        "median (measured geomean 2636 / 2882 / 3094 Mpixel/s in "
+        "back-to-back bench.py runs of the same binary). Treat "
+        "single-process records as one sample of that phase "
+        "distribution.",
+        "",
         "Multi-device: see bench_scaling.py (partition+halo overhead ~0 "
         "on a virtual mesh; real-chip weak scaling needs pod hardware).",
     ]

@@ -96,9 +96,13 @@ def test_readme_headline_matches_latest_bench_json():
         if measured is None:
             pytest.skip(f"latest bench tail has no {label} line to check")
         claimed_v, measured_v = float(claim.group(1)), float(measured.group(1))
-        # 12% head-room for run-to-run relay variance; anything larger is a
-        # real change that must be reflected in the README
-        assert abs(claimed_v - measured_v) <= 0.12 * measured_v, (
+        # 20% head-room: the dispatch-amortized scan is stable WITHIN a
+        # process (<6% across repeats) but the relay's throughput phases
+        # move whole-process results by +-9% around the median (measured
+        # round 5: geomean 2636-3094 across four back-to-back runs of the
+        # same binary); anything beyond the phase spread is a real change
+        # that must be reflected in the README
+        assert abs(claimed_v - measured_v) <= 0.20 * measured_v, (
             f"README claims {label} {claim.group(1)} Mpixel/s but the latest "
             f"bench run measured {measured.group(1)} — refresh README.md"
         )

@@ -272,3 +272,39 @@ def test_sx_sweep_auto_routing_rules():
     assert _sweep_auto_method(36, 986, True) == "xla"
     assert _sweep_auto_method(360, 240, True) == "xla"
     assert _sweep_auto_method(36, 240, False) == "xla"
+
+
+def test_sx_auto_routing_by_ray_count_and_grid(monkeypatch):
+    """Round-5 measured routing for single-azimuth sx() on TPU: Pallas for
+    fans that fit one fast-block program (K <= 128) or big grids; the
+    deduped XLA scan (its HBM floor beats every compile-viable Pallas
+    shape) for wide fans on small grids."""
+    import importlib
+
+    import jax.numpy as jnp
+
+    sxmod = importlib.import_module("topo_descriptors_tpu.ops.sx")
+    monkeypatch.setattr(sxmod, "_on_tpu", lambda: True)
+    calls = {}
+
+    def fake_pallas(dem, offsets, distances, border, height,
+                    zero_border=True):
+        calls["method"] = "pallas"
+        return jnp.zeros(dem.shape, jnp.float32)
+
+    monkeypatch.setattr(
+        "topo_descriptors_tpu.ops.pallas.sx_block.sx_pallas", fake_pallas
+    )
+
+    def route(n_rays, shape):
+        calls.clear()
+        offs = np.stack([np.arange(1, n_rays + 1),
+                         np.zeros(n_rays, int)], axis=1).astype(np.int64)
+        dists = 30.0 * np.arange(1, n_rays + 1).astype(np.float64)
+        sxmod.sx(jnp.zeros(shape, jnp.float32), offs, dists,
+                 border=int(n_rays))
+        return calls.get("method", "xla")
+
+    assert route(32, (64, 128)) == "pallas"      # small fan, any grid
+    assert route(200, (3000, 3000)) == "pallas"  # big grid amortizes
+    assert route(200, (900, 1440)) == "xla"      # wide fan, small grid

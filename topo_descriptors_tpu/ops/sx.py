@@ -60,18 +60,28 @@ def sx(
     backend off-TPU); ``'pallas'`` — the block-resident Mosaic kernel
     (ops/pallas/sx_block.py), which reads each halo window from HBM once
     instead of streaming the array per offset, with a block shape picked by
-    ray count (``sx_block.auto_block`` — large ray fans need small blocks or
-    Mosaic's register allocator spills). Measured on v5e (round 3) the
-    Pallas kernel wins or ties at every size and radius (Basodino 900x1440:
-    r=500 m 0.56 vs 1.60 ms, r=2000 m 5.9 vs 6.3 ms; 4096^2 r=500 m: 4.6 vs
-    76.8 ms), so ``'auto'`` is Pallas whenever a TPU is attached.
+    ray count (``sx_block.auto_block`` — Mosaic keeps every window slice of
+    a program live, so large fans take small blocks and chunked programs).
+    ``'auto'`` on TPU (round-5 measured routing): Pallas when the deduped
+    fan fits one fast-block program (K <= 128 — it wins at every grid size
+    there, e.g. 4.6 vs 76.8 ms at 4096^2 / r=500 m) or when the grid is
+    large enough to amortize its fixed pad/epilogue/program costs
+    (>= ~8 Mpix); otherwise the deduped XLA scan — at Basodino-size grids
+    with r=2000 m fans the scan runs at its HBM slice floor (~3 ms) while
+    every compile-viable Pallas shape measures 4.9-6.2 ms (see the Sx
+    verdict in BENCH_DETAILS.md).
     """
     from topo_descriptors_tpu.kernels.sx_geometry import sx_dedupe
 
     offsets, distances = sx_dedupe(offsets, distances)
     h, w = dem.shape
     if method == "auto":
-        method = "pallas" if _on_tpu() else "xla"
+        if not _on_tpu():
+            method = "xla"
+        elif len(offsets) <= 128 or h * w >= 8 << 20:
+            method = "pallas"
+        else:
+            method = "xla"
     if method == "pallas":
         from topo_descriptors_tpu.config import ensure_compilation_cache
         from topo_descriptors_tpu.ops.pallas.sx_block import sx_pallas
