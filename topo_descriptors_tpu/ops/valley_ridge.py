@@ -439,7 +439,7 @@ def valley_ridge_streamed(
     stats: Optional[tuple] = None,
     n_angles: int = 180,
     conv_method: str = "auto",
-    q_batch: int = 2,
+    q_batch: int = 4,
 ) -> List[jax.Array]:
     """Valley/ridge with the kernel rotation performed ON DEVICE.
 

@@ -716,7 +716,7 @@ class ShardedOps:
         qparams = np.stack(
             [rotation_params(size, float(q), kmax, kmax) for q in q_angles]
         )
-        q_batch = max(1, min(2, len(q_angles)))
+        q_batch = max(1, min(4, len(q_angles)))
         if pad := (-len(q_angles)) % q_batch:
             # all-invalid slots (masked to -inf) pad the schedule so each
             # scan step holds exactly q_batch angles (ops/valley_ridge.py)
@@ -752,7 +752,7 @@ class ShardedOps:
 
     def _build_valley_streamed(self, sigma, valid_shape, n_flats, size,
                                kmax, pads_y, pads_x, block_shape,
-                               q_batch: int = 2):
+                               q_batch: int = 4):
         from topo_descriptors_tpu.ops.dft_conv import conv_bank_mats
         from topo_descriptors_tpu.ops.spline_rotate import (
             build_rotation_table,
