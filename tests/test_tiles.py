@@ -145,3 +145,49 @@ def test_tiled_sx_sweep(dem_small, runner):
     )
     tiled = runner.sx_sweep(dem_small, offsets, distances, border)
     np.testing.assert_array_equal(tiled, single)
+
+
+def test_pipelined_and_serial_drivers_identical(dem_small):
+    """The 3-stage pipelined band driver must produce byte-identical
+    results to the serial loop (same band boundaries, same math)."""
+    from topo_descriptors_tpu.parallel.tiles import TiledRunner
+
+    piped = TiledRunner(tile_rows=24, pipeline=True)
+    serial = TiledRunner(tile_rows=24, pipeline=False)
+    np.testing.assert_array_equal(
+        piped.tpi(dem_small, 11), serial.tpi(dem_small, 11)
+    )
+    out_p = piped.disk_descriptors(dem_small, [7, 11])
+    out_s = serial.disk_descriptors(dem_small, [7, 11])
+    for kind in ("tpi", "std"):
+        np.testing.assert_array_equal(out_p[kind], out_s[kind])
+
+
+def test_pipelined_driver_propagates_errors_without_hanging(dem_small):
+    """A compute error mid-pipeline must tear down the prefetch/writer
+    threads and re-raise, not deadlock on a full queue."""
+    from topo_descriptors_tpu.parallel.tiles import TiledRunner
+
+    runner = TiledRunner(tile_rows=8, pipeline=True)
+    calls = {"n": 0}
+
+    def boom(window, meta):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("synthetic compute failure")
+        return np.zeros((meta[1] - meta[0], dem_small.shape[1]), np.float32)
+
+    with pytest.raises(RuntimeError, match="synthetic compute failure"):
+        runner._drive(dem_small, (2, 2), boom, lambda m, r: None)
+
+
+def test_pipelined_sink_error_propagates(dem_small):
+    from topo_descriptors_tpu.parallel.tiles import TiledRunner
+
+    runner = TiledRunner(tile_rows=8, pipeline=True)
+
+    def bad_sink(start, band):
+        raise OSError("disk full")
+
+    with pytest.raises(OSError, match="disk full"):
+        runner.tpi(dem_small, 7, sink=bad_sink)

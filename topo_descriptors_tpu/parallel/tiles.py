@@ -24,6 +24,8 @@ boundary data) for any tile size >= 1 halo.
 from __future__ import annotations
 
 import logging
+import queue
+import threading
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -40,6 +42,10 @@ from topo_descriptors_tpu.utils.transfer import chunked_device_put, chunked_fetc
 logger = logging.getLogger(__name__)
 
 
+class _Cancelled(Exception):
+    """Internal pipeline-teardown signal (never escapes _drive)."""
+
+
 class TiledRunner:
     """Banded out-of-core execution of descriptor ops on one device.
 
@@ -54,8 +60,11 @@ class TiledRunner:
     band for arbitrarily large grids.
     """
 
-    def __init__(self, tile_rows: int = 4096):
+    def __init__(self, tile_rows: int = 4096, pipeline: bool = True):
         self.tile_rows = int(tile_rows)
+        # overlap disk reads + H2D of the next band and disk writes of the
+        # previous band with the current band's compute + D2H (see _drive)
+        self.pipeline = bool(pipeline)
 
     # -- banding machinery -------------------------------------------------
     def _bands(self, n_rows: int, halo_lo: int, halo_hi: int):
@@ -66,6 +75,104 @@ class TiledRunner:
             win_hi = min(n_rows, stop + halo_hi)
             yield start, stop, win_lo, win_hi
 
+    def _drive(self, dem, halo: Tuple[int, int], compute_fetch, emit):
+        """Banded execution driver — the one pipeline every op loop uses.
+
+        ``compute_fetch(window_dev, meta) -> host_result`` runs on the main
+        thread (device dispatch + bounded-slice D2H fetch); ``emit(meta,
+        host_result)`` delivers results in band order (NetCDF band write or
+        stitch). With ``self.pipeline`` (default), band k+1's host read +
+        chunked H2D runs on a prefetch thread and band k-1's emit on a
+        writer thread while band k computes and fetches: the relay overlaps
+        H2D and D2H RPCs (measured 1.5x combined throughput, round 5) and
+        disk I/O overlaps both. Queues are bounded at ONE band each, so
+        peak host memory gains at most two extra bands. h5py calls from the
+        prefetch/writer threads are safe (h5py serializes on its API lock);
+        JAX device_put/execute are thread-safe.
+        """
+        metas = list(self._bands(dem.shape[0], *halo))
+        if not self.pipeline or len(metas) <= 1:
+            for meta in metas:
+                window = chunked_device_put(
+                    np.asarray(dem[meta[2] : meta[3]])
+                )
+                emit(meta, compute_fetch(window, meta))
+            return
+
+        stop_ev = threading.Event()
+        errors: list = []
+
+        def _put(q, item):
+            while True:
+                try:
+                    q.put(item, timeout=0.2)
+                    return
+                except queue.Full:
+                    if stop_ev.is_set():
+                        raise _Cancelled()
+
+        def _get(q):
+            while True:
+                try:
+                    return q.get(timeout=0.2)
+                except queue.Empty:
+                    if stop_ev.is_set():
+                        raise _Cancelled()
+
+        in_q: queue.Queue = queue.Queue(maxsize=1)
+        out_q: queue.Queue = queue.Queue(maxsize=1)
+
+        def producer():
+            try:
+                for meta in metas:
+                    window = chunked_device_put(
+                        np.asarray(dem[meta[2] : meta[3]])
+                    )
+                    _put(in_q, (meta, window))
+                _put(in_q, None)
+            except _Cancelled:
+                pass
+            except BaseException as exc:  # propagate to the main thread
+                errors.append(exc)
+                stop_ev.set()
+
+        def writer():
+            try:
+                while True:
+                    item = _get(out_q)
+                    if item is None:
+                        return
+                    emit(*item)
+            except _Cancelled:
+                pass
+            except BaseException as exc:
+                errors.append(exc)
+                stop_ev.set()
+
+        tp = threading.Thread(
+            target=producer, daemon=True, name="tiles-prefetch"
+        )
+        tw = threading.Thread(target=writer, daemon=True, name="tiles-write")
+        tp.start()
+        tw.start()
+        try:
+            while True:
+                item = _get(in_q)
+                if item is None:
+                    break
+                meta, window = item
+                _put(out_q, (meta, compute_fetch(window, meta)))
+            _put(out_q, None)
+        except _Cancelled:
+            pass
+        except BaseException as exc:
+            errors.append(exc)
+            stop_ev.set()
+        tp.join()
+        tw.join()
+        if errors:
+            raise errors[0]
+
     def _run(self, dem, halo: Tuple[int, int], fn, sink=None):
         """Apply ``fn(window, rows_slice)`` per band; stitch or sink.
 
@@ -73,21 +180,26 @@ class TiledRunner:
         band's rows within the window; it returns the band's output rows.
         """
         n_rows = dem.shape[0]
-        halo_lo, halo_hi = halo
-        out = None
-        for start, stop, win_lo, win_hi in self._bands(n_rows, halo_lo, halo_hi):
-            window = chunked_device_put(np.asarray(dem[win_lo:win_hi]))
-            rows = slice(start - win_lo, stop - win_lo)
-            band_out = chunked_fetch(fn(window, rows))
+        state = {}
+
+        def compute_fetch(window, meta):
+            start, stop, win_lo, win_hi = meta
+            return chunked_fetch(fn(window, slice(start - win_lo,
+                                                  stop - win_lo)))
+
+        def emit(meta, band_out):
+            start, stop = meta[0], meta[1]
             if sink is not None:
                 sink(start, band_out)
-                continue
-            if out is None:
-                out_shape = (n_rows,) + band_out.shape[1:]
-                out = np.empty(out_shape, dtype=band_out.dtype)
-            out[start:stop] = band_out
-            del band_out
-        return out
+                return
+            if "out" not in state:
+                state["out"] = np.empty(
+                    (n_rows,) + band_out.shape[1:], dtype=band_out.dtype
+                )
+            state["out"][start:stop] = band_out
+
+        self._drive(dem, halo, compute_fetch, emit)
+        return state.get("out")
 
     # -- streaming global statistics ----------------------------------------
     def _center(self, dem) -> float:
@@ -206,28 +318,33 @@ class TiledRunner:
         kinds = [k for k, on in (("tpi", compute_tpi), ("std", compute_std))
                  if on]
 
-        out: Optional[Dict[str, np.ndarray]] = None
-        for start, stop, win_lo, win_hi in self._bands(n_rows, halo, halo):
-            window = chunked_device_put(np.asarray(dem[win_lo:win_hi]))
+        state: Dict[str, np.ndarray] = {}
+
+        def compute_fetch(window, meta):
+            start, stop, win_lo, win_hi = meta
             rows = slice(start - win_lo, stop - win_lo)
             batch = ops.disk_descriptors(
                 window, sizes, sigma, compute_tpi=compute_tpi,
                 compute_std=compute_std, center=center,
             )
+            return {k: chunked_fetch(batch[k][:, rows]) for k in kinds}
+
+        def emit(meta, res):
+            start, stop = meta[0], meta[1]
             for kind in kinds:
-                band = chunked_fetch(batch[kind][:, rows])
+                band = res[kind]
                 if sinks is not None:
                     for s_idx, sink in enumerate(sinks[kind]):
                         sink(start, band[s_idx])
                     continue
-                if out is None:
-                    out = {}
-                if kind not in out:
-                    out[kind] = np.empty(
+                if kind not in state:
+                    state[kind] = np.empty(
                         (len(sizes), n_rows) + band.shape[2:], band.dtype
                     )
-                out[kind][:, start:stop] = band
-        return out
+                state[kind][:, start:stop] = band
+
+        self._drive(dem, (halo, halo), compute_fetch, emit)
+        return state if (sinks is None and state) else None
 
     def gradient(
         self,
@@ -258,15 +375,19 @@ class TiledRunner:
             }
 
         if sinks is not None:
-            n_rows = dem.shape[0]
-            for start, stop, win_lo, win_hi in self._bands(n_rows, halo, halo):
-                window = chunked_device_put(np.asarray(dem[win_lo:win_hi]))
+            def compute_fetch(window, meta):
+                start, stop, win_lo, win_hi = meta
                 rows = slice(start - win_lo, stop - win_lo)
                 outs = ops.gradient(
                     window, sigma, res_for(win_lo, win_hi), sig_ratio
                 )
-                for sink, band in zip(sinks, outs):
-                    sink(start, chunked_fetch(band[rows]))
+                return [chunked_fetch(band[rows]) for band in outs]
+
+            def emit(meta, res):
+                for sink, band in zip(sinks, res):
+                    sink(meta[0], band)
+
+            self._drive(dem, (halo, halo), compute_fetch, emit)
             return None
 
         def fn_for(idx):
@@ -284,15 +405,23 @@ class TiledRunner:
     def _run_windowed(self, dem, halo, fn):
         """Like _run but fn also receives the window's global row range."""
         n_rows = dem.shape[0]
-        out = None
-        for start, stop, win_lo, win_hi in self._bands(n_rows, *halo):
-            window = chunked_device_put(np.asarray(dem[win_lo:win_hi]))
+        state = {}
+
+        def compute_fetch(window, meta):
+            start, stop, win_lo, win_hi = meta
             rows = slice(start - win_lo, stop - win_lo)
-            band_out = np.asarray(fn(window, rows, win_lo, win_hi))
-            if out is None:
-                out = np.empty((n_rows,) + band_out.shape[1:], band_out.dtype)
-            out[start:stop] = band_out
-        return out
+            return chunked_fetch(fn(window, rows, win_lo, win_hi))
+
+        def emit(meta, band_out):
+            start, stop = meta[0], meta[1]
+            if "out" not in state:
+                state["out"] = np.empty(
+                    (n_rows,) + band_out.shape[1:], band_out.dtype
+                )
+            state["out"][start:stop] = band_out
+
+        self._drive(dem, halo, compute_fetch, emit)
+        return state.get("out")
 
     def valley_ridge(
         self,
@@ -337,13 +466,18 @@ class TiledRunner:
             )
 
         if sinks is not None:
-            n_rows = dem.shape[0]
-            for start, stop, win_lo, win_hi in self._bands(n_rows, halo, halo):
-                window = chunked_device_put(np.asarray(dem[win_lo:win_hi]))
+            def compute_fetch(window, meta):
+                start, stop, win_lo, win_hi = meta
                 rows = slice(start - win_lo, stop - win_lo)
                 norm, direction = both(window)
-                sinks[0](start, chunked_fetch(norm[rows]))
-                sinks[1](start, chunked_fetch(direction[rows]))
+                return (chunked_fetch(norm[rows]),
+                        chunked_fetch(direction[rows]))
+
+            def emit(meta, res):
+                sinks[0](meta[0], res[0])
+                sinks[1](meta[0], res[1])
+
+            self._drive(dem, (halo, halo), compute_fetch, emit)
             return None
 
         def fn_norm(window, rows):
@@ -419,20 +553,27 @@ class TiledRunner:
         coordinates. ``sink(start, band)`` receives (A, rows, W) bands."""
         b = int(border)
         n_rows, w = dem.shape
-        out = None
-        for start, stop, win_lo, win_hi in self._bands(n_rows, b, b):
-            window = chunked_device_put(np.asarray(dem[win_lo:win_hi]))
+        state = {}
+
+        def compute_fetch(window, meta):
+            start, stop, win_lo, win_hi = meta
             rows = slice(start - win_lo, stop - win_lo)
             band = chunked_fetch(
                 ops.sx_sweep(window, offsets, distances, border, height,
                              zero_border=False)[:, rows]
             )
-            self._zero_global_border(band, start, n_rows, b)
+            return self._zero_global_border(band, start, n_rows, b)
+
+        def emit(meta, band):
+            start, stop = meta[0], meta[1]
             if sink is not None:
                 sink(start, band)
-                continue
-            if out is None:
-                out = np.empty((band.shape[0], n_rows, w), band.dtype)
-            out[:, start:stop] = band
-            del band
-        return out
+                return
+            if "out" not in state:
+                state["out"] = np.empty(
+                    (band.shape[0], n_rows, w), band.dtype
+                )
+            state["out"][:, start:stop] = band
+
+        self._drive(dem, (b, b), compute_fetch, emit)
+        return state.get("out")
