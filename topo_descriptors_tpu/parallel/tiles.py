@@ -28,14 +28,11 @@ import queue
 import threading
 from typing import Dict, List, Optional, Sequence, Tuple
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from topo_descriptors_tpu import ops
 from topo_descriptors_tpu.config import CFG
 from topo_descriptors_tpu.kernels.gaussian import gaussian_radius
-from topo_descriptors_tpu.kernels.valley import rotated_kernel_bank
 from topo_descriptors_tpu.ops.valley_ridge import prepare_valley_bank
 from topo_descriptors_tpu.utils.transfer import chunked_device_put, chunked_fetch
 
