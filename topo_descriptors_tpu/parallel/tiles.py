@@ -43,6 +43,23 @@ class _Cancelled(Exception):
     """Internal pipeline-teardown signal (never escapes _drive)."""
 
 
+def _malloc_trim():
+    """Return freed band buffers to the OS after a banded run.
+
+    Each band cycles hundreds of MB of short-lived numpy buffers (host
+    window, fetched outputs); glibc retains those arenas, so successive
+    descriptor families each added ~4 GiB of peak RSS on the Gpix run
+    (6.1 -> 10.4 -> 14.3 GiB measured) even though nothing was live
+    between them. A trim per banded run keeps process RSS at one
+    family's working set. Best-effort: a no-op off glibc."""
+    try:
+        import ctypes
+
+        ctypes.CDLL("libc.so.6").malloc_trim(0)
+    except Exception:
+        pass
+
+
 class TiledRunner:
     """Banded out-of-core execution of descriptor ops on one device.
 
@@ -94,6 +111,7 @@ class TiledRunner:
                     np.asarray(dem[meta[2] : meta[3]])
                 )
                 emit(meta, compute_fetch(window, meta))
+            _malloc_trim()
             return
 
         stop_ev = threading.Event()
@@ -167,6 +185,7 @@ class TiledRunner:
             stop_ev.set()
         tp.join()
         tw.join()
+        _malloc_trim()
         if errors:
             raise errors[0]
 
