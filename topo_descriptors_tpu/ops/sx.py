@@ -63,13 +63,15 @@ def sx(
     ray count (``sx_block.auto_block`` — Mosaic keeps every window slice of
     a program live, so large fans take small blocks and chunked programs).
     ``'auto'`` on TPU (round-5 measured routing): Pallas when the deduped
-    fan fits one fast-block program (K <= 128 — it wins at every grid size
-    there, e.g. 4.6 vs 76.8 ms at 4096^2 / r=500 m) or when the grid is
-    large enough to amortize its fixed pad/epilogue/program costs
-    (>= ~8 Mpix); otherwise the deduped XLA scan — at Basodino-size grids
-    with r=2000 m fans the scan runs at its HBM slice floor (~3 ms) while
-    every compile-viable Pallas shape measures 4.9-6.2 ms (see the Sx
-    verdict in BENCH_DETAILS.md).
+    fan fits one fast-block program (K <= 128 — it wins or ties at every
+    grid size there: the unroll=8 deduped scan has closed round 3's 4.6
+    vs 76.8 ms gap at 4096^2 / r=500 m to a tie at ~5 ms, and Pallas's
+    one-window-DMA traffic still bounds it below the scan's K full-field
+    passes as K grows) or when the grid is large enough to amortize its
+    fixed pad/epilogue/program costs (>= ~8 Mpix); otherwise the deduped
+    XLA scan — at Basodino-size grids with r=2000 m fans the scan runs at
+    its HBM slice floor (~3 ms) while every compile-viable Pallas shape
+    measures 4.9-6.2 ms (see the Sx verdict in BENCH_DETAILS.md).
     """
     from topo_descriptors_tpu.kernels.sx_geometry import sx_dedupe
 
