@@ -41,8 +41,12 @@ class Config:
     # multiply-adds on the VPU instead of conv_general_dilated.
     shift_acc_max_taps: int = 1024
     # 1-D correlations (separable Gaussian) switch from shifted FMAs to
-    # per-axis FFT above this tap count.
-    fft_correlate1d_min_taps: int = 160
+    # per-axis FFT above this tap count. Re-calibrated round 5 on v5e at
+    # the Basodino grid: FMA 1.82/2.21/2.91/3.38 ms vs FFT
+    # 2.91/2.30/2.32/3.04 ms at 49/73/97/135 taps — crossover between 73
+    # and 97 (the old 160 left ~25% on the table for 100-160-tap sigmas,
+    # e.g. the 2 km gradient pre-smooth).
+    fft_correlate1d_min_taps: int = 88
     # {0,1}-valued kernels (disk stencils) of at least this many taps route
     # through the prefix-sum (summed-area) path: ~size row adds + 2 x
     # (distinct run widths) slice adds per pixel, exact and far below both
